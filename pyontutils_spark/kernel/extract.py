@@ -1,0 +1,82 @@
+"""Deterministic HTML -> text extraction (pure function, stdlib only).
+
+The per-row invariant of the engine (BASELINE.json:input_hint) is
+"byte-identical extracted text per url": the same html bytes must produce
+the same utf-8 text on every executor, across Arrow batches, partitionings
+and re-runs.  Determinism comes from using a single pure function with no
+locale/environment dependence — the same property the reference enforces
+for its serializer via fresh-subprocess byte-comparison tests
+(``ttlser/test/test_ttlser.py:129-173``).
+
+Rules (fixed, documented, versioned):
+- ``<script> <style> <noscript> <template> <head>`` subtree content dropped
+- comments, processing instructions, declarations dropped
+- block-level elements (p, div, br, li, tr, h1-h6, ...) break lines
+- character/entity references decoded (``&amp;`` -> ``&``)
+- whitespace: runs collapse to one space inside a line; lines stripped;
+  empty lines dropped; lines joined with ``\\n``; no trailing newline
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+EXTRACTOR_VERSION = "1"
+
+_SKIP_SUBTREE = {"script", "style", "noscript", "template", "head", "svg"}
+_BLOCK = {
+    "p", "div", "br", "li", "ul", "ol", "tr", "td", "th", "table",
+    "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre", "section",
+    "article", "header", "footer", "nav", "aside", "figure", "figcaption",
+    "hr", "dt", "dd", "dl", "form", "fieldset", "main", "body", "html",
+    "title",
+}
+_WS = re.compile(r"[ \t\r\f\v ]+")
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._chunks: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_SUBTREE:
+            self._skip_depth += 1
+        elif tag in _BLOCK:
+            self._chunks.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_SUBTREE:
+            if self._skip_depth > 0:
+                self._skip_depth -= 1
+        elif tag in _BLOCK:
+            self._chunks.append("\n")
+
+    def handle_startendtag(self, tag, attrs):
+        if tag in _BLOCK:
+            self._chunks.append("\n")
+
+    def handle_data(self, data):
+        if self._skip_depth == 0:
+            self._chunks.append(data)
+
+    def text(self) -> str:
+        raw = "".join(self._chunks)
+        lines = []
+        for line in raw.split("\n"):
+            line = _WS.sub(" ", line).strip()
+            if line:
+                lines.append(line)
+        return "\n".join(lines)
+
+
+def html_to_text(html: bytes | str) -> str:
+    """Extract visible text from html.  Pure and deterministic."""
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    p = _TextExtractor()
+    p.feed(html)
+    p.close()
+    return p.text()
