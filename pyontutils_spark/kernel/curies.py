@@ -85,6 +85,10 @@ _ILX = {
 # Readable predicate CURIEs used by the triple factory (IAO/RO/BFO ids are
 # public OBO identifiers; the readable-name aliasing mirrors _loadPrefixes).
 _PREDICATES = {
+    # interlex predicate curies whose whole curie is the readable name
+    # (empty suffix), per _loadPrefixes (namespaces.py:104-123)
+    "ilx.isAbout": "http://uri.interlex.org/base/ilx_0381385",
+    "ilx.partOf": "http://uri.interlex.org/base/ilx_0112785",
     "definition": "http://purl.obolibrary.org/obo/IAO_0000115",
     "editorNote": "http://purl.obolibrary.org/obo/IAO_0000116",
     "replacedBy": "http://purl.obolibrary.org/obo/IAO_0100001",

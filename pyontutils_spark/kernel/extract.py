@@ -32,7 +32,7 @@ _BLOCK = {
     "hr", "dt", "dd", "dl", "form", "fieldset", "main", "body", "html",
     "title",
 }
-_WS = re.compile(r"[ \t\r\f\v ]+")
+_WS = re.compile(r"[ \t\r\f\v\xa0]+")
 
 
 class _TextExtractor(HTMLParser):
