@@ -1,0 +1,76 @@
+"""Stage 3: candidate entity-link scoring (broadcast hash join).
+
+The reference resolves a surface form by probing label and synonym
+indexes in priority order (``exhaustive_label_check``,
+``ilxutils/ilxutils/interlex_ingestion.py:103-117, 246-287``) — an
+exact-label hit outranks a synonym hit.  Our scoring: label=1.0,
+synonym=0.9, deterministic tie-break by natsort of the curie.
+
+Scale design: the top-1 winner depends ONLY on ``pattern_norm``, never
+on the mention row — so the argmax is computed once per pattern on the
+driver (lexicon-sized, tiny) and linking is a single broadcast hash
+join with NO shuffle and NO window over the 10^12-row mention table.
+The full candidate table (with scores) is still exposed for the
+scoring/inspection path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..kernel.norm import local_degrade, natsort_key
+
+SCORE_LABEL = 1.0
+SCORE_SYNONYM = 0.9
+
+
+def candidate_rows(lexicon: list[dict], min_length: int = 3) -> list[dict]:
+    """(pattern_norm, term_id, curie, iri, score, is_synonym) rows."""
+    rows = []
+    for t in lexicon:
+        if len(t["label_norm"]) >= min_length:
+            rows.append(dict(pattern_norm=t["label_norm"],
+                             term_id=t["term_id"], curie=t["curie"],
+                             iri=t["iri"], score=SCORE_LABEL,
+                             is_synonym=False))
+        for s in t.get("synonyms", ()):
+            sn = local_degrade(s)
+            if len(sn) >= min_length:
+                rows.append(dict(pattern_norm=sn, term_id=t["term_id"],
+                                 curie=t["curie"], iri=t["iri"],
+                                 score=SCORE_SYNONYM, is_synonym=True))
+    return rows
+
+
+def best_candidates(lexicon: list[dict], min_length: int = 3) -> list[dict]:
+    """Driver-side argmax per pattern: max score, then natsort-min curie.
+    Mirrors the ordered-scan first-hit of the reference's exhaustive
+    checks, made order-independent."""
+    best: dict[str, dict] = {}
+    for r in candidate_rows(lexicon, min_length):
+        cur = best.get(r["pattern_norm"])
+        key = (-r["score"], natsort_key(r["curie"]))
+        if cur is None or key < cur["_key"]:
+            r = dict(r, _key=key)
+            best[r["pattern_norm"]] = r
+    return [{k: v for k, v in r.items() if k != "_key"}
+            for r in best.values()]
+
+
+def candidates_df(spark: SparkSession, lexicon: list[dict],
+                  min_length: int = 3, best_only: bool = True) -> DataFrame:
+    rows = (best_candidates if best_only else candidate_rows)(
+        lexicon, min_length)
+    return spark.createDataFrame(
+        rows, schema=("pattern_norm string, term_id long, curie string, "
+                      "iri string, score double, is_synonym boolean"))
+
+
+def link_mentions(mentions: DataFrame, cands: DataFrame) -> DataFrame:
+    """mentions ⋈ broadcast(best-candidates) on pattern_norm.
+
+    Inner join: patterns without candidates (can't happen when the
+    automaton and candidate table come from the same lexicon, but can
+    when category filters differ) simply drop out.
+    """
+    return mentions.join(F.broadcast(cands), "pattern_norm", "inner")

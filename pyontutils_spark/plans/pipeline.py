@@ -1,0 +1,41 @@
+"""End-to-end triple factory: pages -> text -> mentions -> links -> triples.
+
+The Spark instantiation of the reference's build pipeline
+(``Ont`` lifecycle: sources -> triple generators -> validate -> write,
+``pyontutils/core.py:1183-1346, 1496-1541``), shaped for 10^12 pages:
+
+- one linear DAG, no driver-side loops over data
+- all joins broadcast (lexicon/candidates are the small side)
+- set semantics via distinct (map-side partial aggregation)
+- deterministic output independent of partitioning
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import emit, linking, mentions as mention_ops
+from ..operators.extract import with_extracted_text
+
+
+@dataclass
+class TripleFactoryResult:
+    pages_with_text: DataFrame
+    mentions: DataFrame
+    linked: DataFrame
+    triples: DataFrame
+
+
+def run_triple_factory(spark: SparkSession, pages: DataFrame,
+                       lexicon: list[dict], min_length: int = 3,
+                       lang_filter: str | None = "en") -> TripleFactoryResult:
+    withtext = with_extracted_text(pages)
+    ac_bc = mention_ops.broadcast_automaton(spark, lexicon, min_length)
+    ments = mention_ops.detect_mentions(withtext, ac_bc,
+                                        lang_filter=lang_filter)
+    cands = linking.candidates_df(spark, lexicon, min_length, best_only=True)
+    linked = linking.link_mentions(ments, cands)
+    triples = emit.emit_triples(spark, withtext, linked, lexicon)
+    return TripleFactoryResult(withtext, ments, linked, triples)
