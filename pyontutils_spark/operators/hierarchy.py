@@ -1,0 +1,120 @@
+"""Graph / hierarchy operators over an edges DataFrame — the reference's
+"relational algebra" on edges (SURVEY.md §2.9).
+
+Edges are ``(child, parent)`` rows (e.g. rdfs:subClassOf triples).
+Reference semantics:
+- neighborhood query with depth (``getNeighbors``/``queryTree``,
+  ``pyontutils/hierarchies.py:360-389``) -> iterative k-hop joins
+- roots = objects - subjects, leaves = subjects - objects
+  (``process_nodes``, ``hierarchies.py:463-465``) -> anti-joins
+- tree build with cycle detection (``build_tree``/``cycle_check``,
+  ``hierarchies.py:392-411, 99-117``) -> closure rows that return to
+  their start node
+- import-chain BFS bounded at depth 30 (``ontload.py:555``,
+  ``OntRes._import_chain`` ``core.py:180-193``) -> the same loop with
+  visited-dedup (anti-join)
+- owl:Nothing edge filter (``hierarchies.py:501``)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+OWL_NOTHING = "http://www.w3.org/2002/07/owl#Nothing"
+
+
+def drop_nothing(edges: DataFrame, child="child", parent="parent") -> DataFrame:
+    """creatTree's owl:Nothing filter (hierarchies.py:501)."""
+    return edges.filter((F.col(child) != OWL_NOTHING)
+                        & (F.col(parent) != OWL_NOTHING))
+
+
+def roots_and_leaves(edges: DataFrame, child="child",
+                     parent="parent") -> tuple[DataFrame, DataFrame]:
+    """roots: parents never appearing as child; leaves: children never
+    appearing as parent (set-difference semantics, hierarchies.py:463-465)."""
+    children = edges.select(F.col(child).alias("node")).distinct()
+    parents = edges.select(F.col(parent).alias("node")).distinct()
+    roots = parents.join(children, "node", "left_anti")
+    leaves = children.join(parents, "node", "left_anti")
+    return roots, leaves
+
+
+def transitive_closure(edges: DataFrame, max_depth: int = 30,
+                       child="child", parent="parent") -> DataFrame:
+    """(start, ancestor, depth) for all ancestor paths up to max_depth.
+    Visited-dedup per start node (anti-join) makes each round's frontier
+    shrink and handles cycles without infinite loops — the bounded BFS
+    of the reference's import chase (ontload.py:528-529, :555)."""
+    base = (edges.select(F.col(child).alias("start"),
+                         F.col(parent).alias("node"))
+            .distinct())
+    closure = base.withColumn("depth", F.lit(1)).localCheckpoint(eager=True)
+    frontier = closure
+    for d in range(2, max_depth + 1):
+        step = (frontier.join(
+            edges.select(F.col(child).alias("node"),
+                         F.col(parent).alias("nxt")), "node")
+            .select("start", F.col("nxt").alias("node"))
+            .distinct())
+        new = (step.join(closure.select("start", "node"),
+                         ["start", "node"], "left_anti")
+               .withColumn("depth", F.lit(d))
+               .localCheckpoint(eager=True))
+        if new.isEmpty():
+            break
+        closure = closure.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return closure.select(F.col("start").alias("node"),
+                          F.col("node").alias("ancestor"), "depth")
+
+
+def detect_cycles(edges: DataFrame, max_depth: int = 30,
+                  child="child", parent="parent") -> DataFrame:
+    """Nodes on a cycle: they reach themselves in the closure
+    (cycle_check semantics, hierarchies.py:99-117)."""
+    tc = transitive_closure(edges, max_depth, child, parent)
+    return tc.filter(F.col("node") == F.col("ancestor")) \
+             .select("node").distinct()
+
+
+def khop_neighborhood(edges: DataFrame, seeds: DataFrame, depth: int,
+                      direction: str = "up", child="child",
+                      parent="parent") -> DataFrame:
+    """Nodes within ``depth`` hops of ``seeds(node)``; direction 'up'
+    follows child->parent, 'down' parent->child, 'both' either
+    (getNeighbors depth/direction params, scigraph_client.py:1130)."""
+    if direction == "up":
+        step_edges = edges.select(F.col(child).alias("a"),
+                                  F.col(parent).alias("b"))
+    elif direction == "down":
+        step_edges = edges.select(F.col(parent).alias("a"),
+                                  F.col(child).alias("b"))
+    else:
+        step_edges = (edges.select(F.col(child).alias("a"),
+                                   F.col(parent).alias("b"))
+                      .unionByName(
+                          edges.select(F.col(parent).alias("a"),
+                                       F.col(child).alias("b"))))
+    visited = seeds.select("node").distinct() \
+        .withColumn("depth", F.lit(0)).localCheckpoint(eager=True)
+    frontier = visited
+    for d in range(1, depth + 1):
+        step = (frontier.join(step_edges,
+                              frontier.node == step_edges.a)
+                .select(F.col("b").alias("node")).distinct())
+        new = (step.join(visited.select("node"), "node", "left_anti")
+               .withColumn("depth", F.lit(d)).localCheckpoint(eager=True))
+        if new.isEmpty():
+            break
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return visited
+
+
+def subtree_sizes(edges: DataFrame, max_depth: int = 30) -> DataFrame:
+    """Transitive-closure size per ancestor (tcsort/count semantics,
+    hierarchies.py:47-49, :603) — used for subtree ordering."""
+    tc = transitive_closure(edges, max_depth)
+    return tc.groupBy("ancestor").agg(
+        F.countDistinct("node").alias("tc_size"))

@@ -1,0 +1,146 @@
+"""Deterministic global ordering + graph checksums — the Spark analog of
+the reference's canonical serializer planning phase
+(``CustomTurtleSerializer``, ``ttlser/ttlser/serializers.py:238-310``):
+
+- predicate rank: fixed priority list first (``predicateOrder``,
+  ``serializers.py:187-233``), natsorted remainder after (``_PredRank``,
+  ``serializers.py:433-444``)
+- object rank: every Literal before every URIRef; literals by litsort,
+  IRIs by natsort of their qname (``_LitUriRank``,
+  ``serializers.py:446-458``)
+- subject rank: natsort of qname (``orderSubjects``,
+  ``serializers.py:492-544``, minus the type-section grouping which is
+  a presentation concern)
+- no BNode fixpoint (``_BNodeRank``, ``serializers.py:312-431``):
+  structural nodes are skolemized content-hash IRIs (kernel.ids), the
+  design the reference itself points at (``utils_extra.py:31-32``)
+
+The output of ``canonical_order`` is byte-stable under any input
+partitioning/row order — the table analog of ttlser's byte-identical
+golden files (``ttlser/test/test_ttlser.py:129-173``).
+
+Checksums: ``order_invariant_checksum`` reproduces ``OrderInvariantHash``
+(``pyontutils/utils_extra.py:23-67``) exactly (sha256 over sorted triple
+bytes — per-graph, collect-free via applyInPandas per group);
+``commutative_checksum`` is the scale path for per-partition lineage
+rows: sum of per-triple sha2 prefixes is order-invariant by construction
+and aggregates without a sort.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType
+
+from ..kernel.curies import DEFAULT as PREFIXES
+from ..kernel.ids import graph_checksum, triple_bytes
+from ..kernel.norm import natsort_key, object_sort_key
+from . import vocab
+
+# Priority predicates in emission order (predicateOrder semantics,
+# restricted to our closed vocabulary).
+PREDICATE_PRIORITY = [
+    vocab.RDF_TYPE,
+    vocab.RDFS_LABEL,
+    vocab.NIFRID_SYNONYM,
+    vocab.DEFINITION,
+    vocab.RDFS_SUBCLASSOF,
+    vocab.OWL_SAMEAS,
+    vocab.OWL_DEPRECATED,
+    vocab.REPLACED_BY,
+    vocab.IS_ABOUT,
+]
+_PRIORITY_RANK = {p: i for i, p in enumerate(PREDICATE_PRIORITY)}
+
+
+@F.pandas_udf(StringType())
+def subj_rank_udf(subj: pd.Series) -> pd.Series:
+    return subj.map(lambda s: natsort_key(PREFIXES.qname(s)))
+
+
+@F.pandas_udf(StringType())
+def pred_rank_udf(pred: pd.Series) -> pd.Series:
+    def rank(p):
+        pr = _PRIORITY_RANK.get(p)
+        if pr is not None:
+            return f"0{pr:04d}"
+        return "1" + natsort_key(PREFIXES.qname(p))
+    return pred.map(rank)
+
+
+@F.pandas_udf(StringType())
+def obj_rank_udf(obj: pd.Series, is_lit: pd.Series, datatype: pd.Series,
+                 lang: pd.Series) -> pd.Series:
+    out = []
+    for o, il, dt, lg in zip(obj, is_lit, datatype, lang):
+        out.append(object_sort_key(
+            o, bool(il), dt, lg,
+            qname=None if il else PREFIXES.qname(o)))
+    return pd.Series(out, dtype="object")
+
+
+def with_rank_columns(triples: DataFrame) -> DataFrame:
+    return (triples
+            .withColumn("subj_rank", subj_rank_udf("subj"))
+            .withColumn("pred_rank", pred_rank_udf("pred"))
+            .withColumn("obj_rank", obj_rank_udf(
+                "obj", "obj_is_literal", "obj_datatype", "obj_lang")))
+
+
+def canonical_order(triples: DataFrame) -> DataFrame:
+    """Globally ordered triple table (range-partitioned sort — Spark's
+    orderBy samples ranges, so this scales; output order is the
+    deterministic (subj, pred, obj) rank order)."""
+    return (with_rank_columns(triples)
+            .orderBy("subj_rank", "pred_rank", "obj_rank", "subj", "pred",
+                     "obj")
+            .drop("subj_rank", "pred_rank", "obj_rank"))
+
+
+# ---------------------------------------------------------------------------
+# checksums
+# ---------------------------------------------------------------------------
+
+_CHECK_SCHEMA = "graph_key string, checksum string, n_triples long"
+
+
+def order_invariant_checksum(triples: DataFrame,
+                             graph_key_col=None) -> DataFrame:
+    """Exact OrderInvariantHash per graph.  ``graph_key_col``: column
+    expression naming the graph (default: single constant graph).
+    Each graph's triples are gathered to one group — exact semantics,
+    intended for graph-sized groups (tests, per-source manifests)."""
+    src = triples.withColumn(
+        "graph_key",
+        F.lit("all") if graph_key_col is None else graph_key_col)
+
+    def per_graph(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["graph_key"].iloc[0]
+        tbs = (triple_bytes(s, p, o, bool(il), dt or "", lg or "")
+               for s, p, o, il, dt, lg in zip(
+                   pdf["subj"], pdf["pred"], pdf["obj"],
+                   pdf["obj_is_literal"], pdf["obj_datatype"],
+                   pdf["obj_lang"]))
+        return pd.DataFrame({"graph_key": [key],
+                             "checksum": [graph_checksum(tbs)],
+                             "n_triples": [len(pdf)]})
+
+    return (src.select("graph_key", "subj", "pred", "obj", "obj_is_literal",
+                       "obj_datatype", "obj_lang")
+            .groupBy("graph_key").applyInPandas(per_graph, _CHECK_SCHEMA))
+
+
+def commutative_checksum(triples: DataFrame, *group_cols) -> DataFrame:
+    """Scale-path checksum: per-triple sha2 prefix summed (commutative,
+    so it is order/partitioning-invariant and needs no sort or collect).
+    Used for per-partition lineage rows."""
+    h = F.conv(F.substring(F.sha2(F.concat_ws(
+        "\x1d", "subj", "pred", "obj",
+        F.col("obj_is_literal").cast("string"),
+        F.coalesce("obj_datatype", F.lit("")),
+        F.coalesce("obj_lang", F.lit(""))), 256), 1, 15), 16, 10) \
+        .cast("long")
+    gb = triples.groupBy(*group_cols) if group_cols else triples.groupBy()
+    return gb.agg(F.sum(h).alias("checksum_sum"),
+                  F.count("*").alias("n_triples"))

@@ -1,0 +1,156 @@
+"""Entity pivot (OntoPandas semantics), canonical ordering determinism
+(ttlser randomize-then-compare pattern), checksums, hierarchy operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyontutils_spark.kernel.ids import graph_checksum, triple_bytes
+from pyontutils_spark.operators import vocab
+from pyontutils_spark.operators.entities import (
+    class_records, entity_pivot, group_to_first, label_multimap)
+from pyontutils_spark.operators.hierarchy import (
+    detect_cycles, drop_nothing, khop_neighborhood, roots_and_leaves,
+    subtree_sizes, transitive_closure)
+from pyontutils_spark.operators.ordering import (
+    canonical_order, commutative_checksum, order_invariant_checksum)
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    rows = [
+        ("http://e/b", vocab.RDF_TYPE, vocab.OWL_CLASS, False, None, None),
+        ("http://e/b", vocab.RDFS_LABEL, "thing b", True, None, None),
+        ("http://e/b", vocab.NIFRID_SYNONYM, "b alt", True, None, None),
+        ("http://e/b", vocab.NIFRID_SYNONYM, "a alt", True, None, None),
+        ("http://e/a10", vocab.RDF_TYPE, vocab.OWL_CLASS, False, None, None),
+        ("http://e/a10", vocab.RDFS_LABEL, "thing a10", True, None, None),
+        ("http://e/a10", vocab.RDFS_SUBCLASSOF, "http://e/b", False, None, None),
+        ("http://e/a9", vocab.RDF_TYPE, vocab.OWL_CLASS, False, None, None),
+        ("http://e/a9", vocab.RDFS_LABEL, "thing a9", True, None, None),
+    ]
+    return spark.createDataFrame(rows, vocab.TRIPLE_SCHEMA)
+
+
+def test_entity_pivot(spark, triples):
+    out = entity_pivot(triples).collect()
+    by_subj = {r.subj: r for r in out}
+    assert by_subj["http://e/b"].label == ["thing b"]
+    assert by_subj["http://e/b"].synonym == ["a alt", "b alt"]  # sorted
+    assert by_subj["http://e/a10"].subClassOf == ["http://e/b"]
+
+
+def test_class_records(spark, triples):
+    recs = {r.iri: r for r in class_records(triples).collect()}
+    assert recs["http://e/b"].labels == ["thing b"]
+    assert recs["http://e/b"].synonyms == ["a alt", "b alt"]
+    assert recs["http://e/a10"].parents == ["http://e/b"]
+    assert recs["http://e/a9"].synonyms == []
+
+
+def test_label_multimap(spark):
+    rows = [("http://e/1", " Cortex"), ("http://e/2", "cortex "),
+            ("http://e/3", "unique")]
+    mm = {r.label_norm: r for r in label_multimap(
+        spark.createDataFrame(rows, "iri string, label string")).collect()}
+    assert mm["cortex"].n == 2
+    assert [x.iri for x in mm["cortex"].rows] == ["http://e/1", "http://e/2"]
+
+
+def test_group_to_first(spark):
+    df = spark.createDataFrame(
+        [("k", 2, "second"), ("k", 1, "first"), ("j", 5, "only")],
+        "key string, ord int, val string")
+    out = {r.key: r.val for r in group_to_first(df, "key", "ord").collect()}
+    assert out == {"k": "first", "j": "only"}
+
+
+def test_canonical_order_deterministic(spark, triples):
+    """shuffle partitioning -> byte-identical ordered output
+    (the ttlser test_deterministic pattern)."""
+    outs = []
+    for parts in (1, 2, 7):
+        ordered = canonical_order(triples.repartition(parts))
+        outs.append([tuple(r) for r in ordered.collect()])
+    assert outs[0] == outs[1] == outs[2]
+    # subjects in natsort qname order: a9 < a10 < b
+    subs = [r[0] for r in outs[0]]
+    first_idx = {s: subs.index(s) for s in set(subs)}
+    assert first_idx["http://e/a9"] < first_idx["http://e/a10"] < \
+        first_idx["http://e/b"]
+    # within a subject: rdf:type first, label before synonyms
+    b_rows = [r for r in outs[0] if r[0] == "http://e/b"]
+    assert b_rows[0][1] == vocab.RDF_TYPE
+    assert b_rows[1][1] == vocab.RDFS_LABEL
+    # synonym literals litsorted: 'a alt' < 'b alt'
+    assert [r[2] for r in b_rows[2:4]] == ["a alt", "b alt"]
+
+
+def test_order_invariant_checksum_matches_kernel(spark, triples):
+    row = order_invariant_checksum(triples).collect()[0]
+    expected = graph_checksum(
+        triple_bytes(r.subj, r.pred, r.obj, r.obj_is_literal,
+                     r.obj_datatype or "", r.obj_lang or "")
+        for r in triples.collect())
+    assert row.checksum == expected
+    assert row.n_triples == 9
+    # invariant under repartition
+    row2 = order_invariant_checksum(triples.repartition(5)).collect()[0]
+    assert row2.checksum == expected
+
+
+def test_commutative_checksum_partition_invariant(spark, triples):
+    a = commutative_checksum(triples).collect()[0]
+    b = commutative_checksum(triples.repartition(6)).collect()[0]
+    assert a.checksum_sum == b.checksum_sum
+    assert a.n_triples == b.n_triples == 9
+
+
+EDGES = [("c1", "b"), ("c2", "b"), ("b", "a"), ("d", "a"),
+         ("x1", "x2"), ("x2", "x3"), ("x3", "x1")]  # x* is a cycle
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.createDataFrame(EDGES, "child string, parent string")
+
+
+def test_roots_and_leaves(spark, edges):
+    roots, leaves = roots_and_leaves(edges)
+    assert {r.node for r in roots.collect()} == {"a"}
+    assert {r.node for r in leaves.collect()} == {"c1", "c2", "d"}
+
+
+def test_transitive_closure(spark, edges):
+    tc = {(r.node, r.ancestor): r.depth
+          for r in transitive_closure(edges, max_depth=10).collect()}
+    assert tc[("c1", "b")] == 1
+    assert tc[("c1", "a")] == 2
+    assert ("a", "c1") not in tc
+
+
+def test_detect_cycles(spark, edges):
+    cyc = {r.node for r in detect_cycles(edges, max_depth=10).collect()}
+    assert cyc == {"x1", "x2", "x3"}
+
+
+def test_khop_up_and_both(spark, edges):
+    seeds = edges.sparkSession.createDataFrame([("c1",)], "node string")
+    up1 = {r.node for r in khop_neighborhood(edges, seeds, 1, "up").collect()}
+    assert up1 == {"c1", "b"}
+    both2 = {r.node for r in
+             khop_neighborhood(edges, seeds, 2, "both").collect()}
+    assert both2 == {"c1", "b", "a", "c2"}
+
+
+def test_subtree_sizes(spark, edges):
+    sz = {r.ancestor: r.tc_size for r in
+          subtree_sizes(edges, max_depth=10).collect()}
+    assert sz["a"] == 4  # c1, c2, b, d
+    assert sz["b"] == 2
+
+
+def test_drop_nothing(spark):
+    df = spark.createDataFrame(
+        [("a", "http://www.w3.org/2002/07/owl#Nothing"), ("a", "b")],
+        "child string, parent string")
+    assert drop_nothing(df).count() == 1
