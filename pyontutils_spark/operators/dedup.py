@@ -1,0 +1,172 @@
+"""Deduplication operators for training-data pipelines.
+
+All hashing uses the *portable hash* ``h32(s) = int(md5(s)[:8], 16)`` so
+every signature is reproducible bit-for-bit in the DuckDB oracle
+(``('0x' || substr(md5(s),1,8))::ubigint``) — no engine-private hash
+functions in any result.
+
+Operators (each JVM-side column expressions; no Python in the hot path):
+- exact dedup: group by full-text digest, keep min-id representative
+- MinHash signatures (K permutations via (a*h+b) mod p over token h32s)
+- LSH banding -> candidate pairs (pairs sharing any band bucket)
+- exact n-gram Jaccard verification on candidate pairs
+- SimHash (bitwise majority of token hashes)
+- embedding cosine near-dup (see simsearch for the ANN path)
+
+Scale notes: signatures are computed per-row with higher-order array
+functions (whole-stage codegen, no shuffle); the only shuffles are the
+band-bucket groupBy (keys are uniform hashes -> no skew) and the final
+pair dedup.  Verification joins fetch token arrays by id — at 100 TB
+that join is the cost center, which is why candidates are pruned by
+banding first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+MERSENNE_P = (1 << 61) - 1  # modulus for the affine permutations
+
+
+def h32(col) -> Column:
+    """Portable 32-bit hash: int(md5(x)[:8], 16).  Reproducible in
+    DuckDB as ('0x'||substr(md5(x),1,8))::ubigint."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def tokens_col(text_col) -> Column:
+    """Deterministic tokenization: lowercase, non-alnum -> space, split.
+    DuckDB mirror: string_split(regexp_replace(lower(x),'[^a-z0-9]+',' ','g'),' ')."""
+    cleaned = F.regexp_replace(F.lower(text_col), "[^a-z0-9]+", " ")
+    return F.filter(F.split(F.trim(cleaned), " "), lambda t: t != "")
+
+
+def _minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic affine coefficients (documented constants, same in
+    the oracle SQL): a_i = 2i+1, b_i = i*i+1."""
+    return [(2 * i + 1, i * i + 1) for i in range(k)]
+
+
+def _affine(a: int, b: int):
+    # closure factory: pyspark inspects lambda arity, so default-arg
+    # capture (lambda h, a=a: ...) would be read as a 2/3-arg lambda
+    return lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P
+
+
+def minhash_signature(text_col, k: int = 16) -> Column:
+    """array<long> of K min-hashes over the distinct token set."""
+    hashes = F.array_distinct(F.transform(tokens_col(text_col), h32))
+    sigs = [F.array_min(F.transform(hashes, _affine(a, b)))
+            for a, b in _minhash_params(k)]
+    return F.array(*sigs)
+
+
+def with_minhash(docs: DataFrame, text_col: str = "text",
+                 k: int = 16, out: str = "minhash") -> DataFrame:
+    return docs.withColumn(out, minhash_signature(F.col(text_col), k))
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(digest, representative = min id, n_dups).  Hash-groupBy dedup;
+    map-side partial aggregation keeps the shuffle tiny."""
+    return (docs.select(F.md5(F.col(text_col)).alias("digest"),
+                        F.col(id_col))
+            .groupBy("digest")
+            .agg(F.min(id_col).alias("representative"),
+                 F.count("*").alias("n_dups")))
+
+
+def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 16,
+                        bands: int = 4) -> DataFrame:
+    """MinHash-LSH candidate pairs: ids sharing at least one band bucket.
+    Deterministic (not sampled), so the oracle can reproduce it exactly.
+    k must be divisible by bands."""
+    assert k % bands == 0
+    r = k // bands
+    sig = with_minhash(docs.select(id_col, text_col), text_col, k)
+    buckets = None
+    for b in range(bands):
+        band = (sig.select(
+            F.col(id_col).alias("id"),
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[
+                F.element_at("minhash", b * r + j + 1).cast("string")
+                for j in range(r)])).alias("bucket")))
+        buckets = band if buckets is None else buckets.unionByName(band)
+    a = buckets.select("band", "bucket", F.col("id").alias("id_a"))
+    bb = buckets.select("band", "bucket", F.col("id").alias("id_b"))
+    return (a.join(bb, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def jaccard_verify(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   threshold: float = 0.0) -> DataFrame:
+    """Exact token-set Jaccard on candidate pairs.
+    jaccard = |A ∩ B| / |A ∪ B| over distinct token sets."""
+    toks = docs.select(F.col(id_col).alias("id"),
+                       F.array_distinct(tokens_col(F.col(text_col)))
+                       .alias("toks"))
+    out = (pairs
+           .join(toks.withColumnRenamed("id", "id_a")
+                 .withColumnRenamed("toks", "toks_a"), "id_a")
+           .join(toks.withColumnRenamed("id", "id_b")
+                 .withColumnRenamed("toks", "toks_b"), "id_b")
+           .withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
+           .withColumn("uni", F.size(F.array_union("toks_a", "toks_b")))
+           .withColumn("jaccard", F.col("inter") / F.col("uni"))
+           .select("id_a", "id_b", "jaccard"))
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_shingles(text_col, n: int = 5) -> Column:
+    """Character n-gram shingle hash set (rolling window via sequence +
+    substring — pure column expressions)."""
+    t = F.lower(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - n + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: h32(t.substr(i, F.lit(n)))))
+
+
+def simhash(text_col, bits: int = 32) -> Column:
+    """SimHash over token h32s: bit j of the signature is the majority
+    vote of bit j across token hashes.  Pure per-row expression."""
+    hashes = F.array_distinct(F.transform(tokens_col(text_col), h32))
+    n = F.size(hashes)
+    acc = F.lit(0).cast("long")
+
+    def bit_is_one(j: int):
+        return lambda h: F.shiftright(h, j) % 2 == 1
+
+    for j in range(bits):
+        ones = F.size(F.filter(hashes, bit_is_one(j)))
+        acc = acc + F.when(ones * 2 > n, F.lit(1 << j).cast("long")) \
+                     .otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def hamming64(a, b) -> Column:
+    """Hamming distance between two long signatures (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", max_hamming: int = 3,
+                      bits: int = 32, prefix_bits: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the top ``prefix_bits`` of the
+    signature (cheap LSH), verify hamming <= max_hamming within block."""
+    sig = docs.select(F.col(id_col).alias("id"),
+                      simhash(F.col(text_col), bits).alias("sig"))
+    blocked = sig.withColumn("blk", F.shiftright("sig", bits - prefix_bits))
+    a = blocked.select("blk", F.col("id").alias("id_a"),
+                       F.col("sig").alias("sig_a"))
+    b = blocked.select("blk", F.col("id").alias("id_b"),
+                       F.col("sig").alias("sig_b"))
+    return (a.join(b, "blk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

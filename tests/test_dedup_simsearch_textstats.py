@@ -1,0 +1,178 @@
+"""Training-data operators: dedup family, ANN, text stats, multimodal
+plumbing.  Hash parity with DuckDB is asserted here so the driver's
+oracle comparisons can rely on it."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pyontutils_spark.operators.dedup import (
+    exact_dedup_groups, h32, jaccard_verify, lsh_candidate_pairs,
+    simhash, simhash_near_dups, with_minhash)
+from pyontutils_spark.operators.multimodal import (
+    extract_features, fake_decode, synth_media)
+from pyontutils_spark.operators.simsearch import cosine_topk, lsh_topk
+from pyontutils_spark.operators.textstats import (
+    fingerprint, lang_id, quality_features, token_count)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_h32_matches_duckdb(spark):
+    vals = ["abc", "hello world", "x"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r.s: r.h for r in df.select("s", h32(F.col("s")).alias("h")).collect()}
+    for v in vals:
+        want = duckdb.sql(
+            f"select ('0x'||substr(md5('{v}'),1,8))::ubigint").fetchone()[0]
+        assert got[v] == want
+
+
+def test_exact_dedup_groups(spark):
+    rows = [(1, "same text"), (2, "same text"), (3, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.representative: r.n_dups
+           for r in exact_dedup_groups(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_identical_texts_equal_signatures(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "d c b a"), (3, "totally different words")],
+        "doc_id long, text string")
+    sigs = {r.doc_id: r.minhash for r in with_minhash(df).collect()}
+    assert sigs[1] == sigs[2]  # same token set
+    assert sigs[1] != sigs[3]
+    assert len(sigs[1]) == 16
+
+
+def test_lsh_candidates_and_jaccard(spark, docs):
+    d = docs.limit(200)
+    pairs = lsh_candidate_pairs(d, bands=4)
+    verified = jaccard_verify(d, pairs, threshold=0.8)
+    for r in verified.limit(20).collect():
+        assert r.jaccard >= 0.8
+    # near-identical docs must be candidates: append a clone
+    clone = spark.createDataFrame(
+        [(100001, d.select("text").first()[0])], "doc_id long, text string")
+    d2 = d.select("doc_id", "text").unionByName(clone)
+    first_id = d.select("doc_id").first()[0]
+    cand = lsh_candidate_pairs(d2, bands=4)
+    hit = cand.filter((F.col("id_a") == first_id)
+                      & (F.col("id_b") == 100001)).count()
+    assert hit == 1
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon eta"),
+         (3, "completely unrelated nonsense phrases here")],
+        "doc_id long, text string")
+    sigs = {r.doc_id: r.s for r in df.select(
+        "doc_id", simhash(F.col("text")).alias("s")).collect()}
+    from pyontutils_spark.operators.dedup import hamming64
+    d12 = df.sparkSession.createDataFrame(
+        [(sigs[1], sigs[2]), (sigs[1], sigs[3])], "a long, b long") \
+        .select(hamming64(F.col("a"), F.col("b")).alias("h")).collect()
+    assert d12[0].h < d12[1].h  # similar docs closer than dissimilar
+
+
+def test_simhash_near_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog tonight"),
+         (3, "entirely different content with other words only")],
+        "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b)
+             for r in simhash_near_dups(df, max_hamming=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_cosine_topk_exact(spark, emb):
+    queries = emb.limit(3).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = cosine_topk(queries, emb, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        # self is its own nearest neighbor
+        assert rs[0].vec_id == q and rs[0].cosine == pytest.approx(1.0)
+        # ranks strictly ordered by cosine desc
+        cos = [r.cosine for r in rs]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_lsh_topk_recall(spark, emb):
+    queries = emb.limit(5).select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = cosine_topk(queries, emb, k=5)
+    approx = lsh_topk(queries, emb, dim=64, k=5, n_planes=4, n_tables=12)
+    e = {(r.q_id, r.vec_id) for r in exact.collect()}
+    a = {(r.q_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.75, recall  # 4-plane × 12-table on 64-dim
+
+
+def test_token_count_and_quality(spark, docs):
+    out = quality_features(docs.limit(50)).collect()
+    for r in out:
+        assert r.n_tokens > 0
+        assert 0.0 <= r.quality_score <= 1.0
+        assert r.stopword_ratio >= 0.0
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and the dog is here"),
+         (2, "der hund ist nicht mit der katze und das haus"),
+         (3, "le chat est dans la maison avec les oiseaux"),
+         (4, "xyzzy plugh qwerty")],
+        "id long, text string")
+    out = {r.id: r.lang for r in df.select(
+        "id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_fingerprint_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "some document text"), (2, "some document text"),
+         (3, "qqq zzz completely other stuff")],
+        "id long, text string")
+    fp = {r.id: r.fp for r in df.select(
+        "id", fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+def test_multimodal_features(spark):
+    media = synth_media(spark, 20)
+    feats = extract_features(media).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r.features) == 16
+        assert all(0.0 <= x < 1.0 for x in r.features)
+    # determinism: features equal fake_decode of the payload
+    payload = {r.media_id: bytes(r.payload)
+               for r in media.select("media_id", "payload").collect()}
+    for r in feats[:5]:
+        assert r.features == list(fake_decode(payload[r.media_id]))
+
+
+def test_multimodal_decode_stub():
+    from pyontutils_spark.operators.multimodal import decode_image
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
