@@ -1,38 +1,687 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG triple factory on a synthesized
+Common-Crawl-style pages table (BASELINE.json:input_hint shape).
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 (+ the training-data ops); ``oracle_sql()`` carries the
+DuckDB-equivalent SQL for each.  Hashing used inside queries is the
+*portable* md5-based h32 so both engines compute identical values.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from pyontutils_spark.kernel.curies import DEFAULT as PREFIXES
+from pyontutils_spark.operators import vocab
+from pyontutils_spark.operators.dedup import (
+    MERSENNE_P, _minhash_params, exact_dedup_groups, h32,
+    jaccard_verify, minhash_signature, simhash, tokens_col)
+from pyontutils_spark.operators.simsearch import cosine_topk
+from pyontutils_spark.operators.textstats import (
+    STOPWORDS, lang_id, quality_features, token_count)
+
+# ---------------------------------------------------------------------------
+# shared fixtures (inline VALUES on the oracle side, createDataFrame here)
+# ---------------------------------------------------------------------------
+
+# mini-lexicon of words that occur in the synthetic documents corpus
+DOC_LEXICON = [
+    ("table", "ILX:0100001"),
+    ("query", "ILX:0100002"),
+    ("window", "BIRNLEX:0100003"),
+    ("column", "NLX:0100004"),
+    ("join", "ILX:0100005"),
+    ("customer", "NLXANAT:0100006"),
+]
+_LEX_VALUES = ", ".join(f"('{w}', '{c}', '{PREFIXES.expand(c)}')"
+                        for w, c in DOC_LEXICON)
+_LEX_SQL = (f"(VALUES {_LEX_VALUES}) AS lex(term, curie, iri)")
+
+# CURIE test vectors (reference guard semantics, core.py:630-653)
+CURIE_VECTORS = ["rdf:type", "rdfs:label", "owl:Class", "ILX:0101431",
+                 "NLXSUB:090901", "SAO:1770195789", "BIRNLEX:796",
+                 "TEMP:abc123", "oboInOwl:hasExactSynonym", "NLX:144"]
+
+# prefix table rows used by both engines for expand/qname queries
+_PREFIX_ROWS = sorted(PREFIXES.prefix_to_ns.items())
+_PREFIX_VALUES = ", ".join(f"('{p}', '{n}')" for p, n in _PREFIX_ROWS)
+
+
+def _prefix_sql(alias: str) -> str:
+    return f"(VALUES {_PREFIX_VALUES}) AS {alias}(prefix, ns)"
+
+# qname vectors: IRIs incl. longest-match traps and unmatched cases
+QNAME_VECTORS = [
+    "http://uri.neuinfo.org/nif/nifstd/nlx_subcell_090901",
+    "http://uri.neuinfo.org/nif/nifstd/nlx_12345",
+    "http://uri.neuinfo.org/nif/nifstd/nlx_anat_090901",
+    "http://uri.neuinfo.org/nif/nifstd/sao1770195789",
+    "http://uri.neuinfo.org/nif/nifstd/birnlex_796",
+    "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+    "http://uri.neuinfo.org/nif/nifstd/deep/path_1",   # separator guard
+    "http://totally.unknown.example.org/thing#x",      # unmatched
+    "http://uri.interlex.org/base/ilx_0101431",
+    "http://uri.interlex.org/base/readable/hasRole",
+]
+_QNAME_VALUES = ", ".join(f"('{v}')" for v in QNAME_VECTORS)
+
+# hierarchy fixture edges (child, parent) with a diamond + chain
+EDGE_ROWS = [("c1", "b1"), ("c2", "b1"), ("c3", "b2"), ("b1", "a"),
+             ("b2", "a"), ("d1", "c1"), ("e1", "d1")]
+_EDGE_VALUES = ", ".join(f"('{c}', '{p}')" for c, p in EDGE_ROWS)
+_EDGE_SQL = f"(VALUES {_EDGE_VALUES}) AS edges(child, parent)"
+
+# sameAs fixture: chain + star + island (canonical = min member id —
+# iris chosen so lexicographic == natsort order, decidable in SQL)
+SAMEAS_ROWS = [("e01", "e02"), ("e02", "e03"), ("e03", "e04"),
+               ("e10", "e11"), ("e10", "e12"), ("e10", "e13"),
+               ("e20", "e21")]
+_SAMEAS_VALUES = ", ".join(f"('{a}', '{b}')" for a, b in SAMEAS_ROWS)
+_SAMEAS_SQL = f"(VALUES {_SAMEAS_VALUES}) AS sa(a, b)"
+
+_MINHASH_K = 8
+_TOKEN_CLEAN_SQL = (
+    "string_split(trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g')), ' ')")
+_H32_SQL = "('0x' || substr(md5({x}), 1, 8))::ubigint::bigint"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG triple factory over a synthesized pages table
+    (~300 pages, BASELINE input_hint shape) -> canonical triples."""
+    from pyontutils_spark.plans.pipeline import run_triple_factory
+    from pyontutils_spark.synth.lexicon import make_lexicon
+    from pyontutils_spark.synth.spark_gen import pages_df
+
+    lex = make_lexicon()
+    pages = pages_df(spark, 300)
+    res = run_triple_factory(spark, pages, lex)
+    return res.triples
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_curie_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURIE -> IRI broadcast map join (makeGraph.expand semantics)."""
+    vec = spark.createDataFrame([(c,) for c in CURIE_VECTORS],
+                                "curie string")
+    pfx = spark.createDataFrame(_PREFIX_ROWS, "prefix string, ns string")
+    split = F.split(F.col("curie"), ":", 2)
+    return (vec.withColumn("prefix", split.getItem(0))
+            .withColumn("suffix", split.getItem(1))
+            .join(F.broadcast(pfx), "prefix")
+            .select("curie", F.concat("ns", "suffix").alias("iri")))
+
+
+def _q_qname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IRI -> qname: longest-namespace-first with separator guard
+    (cull_prefixes core.py:915-921); unmatched IRIs pass through."""
+    vec = spark.createDataFrame([(v,) for v in QNAME_VECTORS], "iri string")
+    pfx = spark.createDataFrame(_PREFIX_ROWS, "prefix string, ns string")
+    rest = F.expr("substr(iri, length(ns) + 1)")
+    matched = (vec.join(
+        F.broadcast(pfx),
+        F.col("iri").startswith(F.col("ns"))
+        & ~rest.contains("#") & ~rest.contains("/"), "left"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("iri").orderBy(F.length("ns").desc(), "prefix")
+    return (matched.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("iri",
+                    F.when(F.col("prefix").isNull(), F.col("iri"))
+                    .otherwise(F.concat_ws(":", "prefix", rest))
+                    .alias("qname")))
+
+
+def _q_mention_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level mention detection: explode document tokens, broadcast
+    join to the lexicon, count per (doc, term)."""
+    docs = _docs(spark, sf_dir).filter(F.col("lang") == "en")
+    lex = spark.createDataFrame(DOC_LEXICON, "term string, curie string")
+    toks = docs.select("doc_id",
+                       F.explode(tokens_col(F.col("text"))).alias("term"))
+    return (toks.join(F.broadcast(lex.select("term")), "term")
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("n")))
+
+
+def _q_triples_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple emission from mentions: page isAbout entity + entity
+    labels, set semantics (union + distinct)."""
+    mentions = _q_mention_tokens(spark, sf_dir)
+    lex = spark.createDataFrame(
+        [(w, c, PREFIXES.expand(c)) for w, c in DOC_LEXICON],
+        "term string, curie string, iri string")
+    linked = mentions.join(F.broadcast(lex), "term")
+    about = linked.select(
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("subj"),
+        F.lit(vocab.IS_ABOUT).alias("pred"),
+        F.col("iri").alias("obj")).distinct()
+    labels = (linked.select("term", "iri").distinct()
+              .select(F.col("iri").alias("subj"),
+                      F.lit(vocab.RDFS_LABEL).alias("pred"),
+                      F.col("term").alias("obj")))
+    return about.unionByName(labels).distinct()
+
+
+def _q_entity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subject pivot (OntoPandas semantics): per subject, sorted
+    object-list per predicate, joined to a string for comparison."""
+    t = _q_triples_emit(spark, sf_dir)
+    return (t.groupBy("subj", "pred")
+            .agg(F.array_join(F.sort_array(F.collect_list("obj")), "|")
+                 .alias("objs")))
+
+
+def _q_cardinality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """standard_checks.cardinality (core.py:44-55): label count per
+    subject over a fixture with one planted violation."""
+    rows = [("s1", "label", "a"), ("s1", "label", "b"),
+            ("s2", "label", "only"), ("s3", "other", "x")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    return (t.filter(F.col("pred") == "label")
+            .groupBy("subj")
+            .agg(F.countDistinct("obj").alias("n_labels"))
+            .filter(F.col("n_labels") > 1))
+
+
+def _q_sameas_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (large-star/small-star) over the sameAs
+    fixture; canonical = min member."""
+    from pyontutils_spark.operators.components import canonical_mapping
+    edges = spark.createDataFrame(SAMEAS_ROWS, "a string, b string")
+    return canonical_mapping(edges).withColumnsRenamed(
+        {"canonical_iri": "canonical"})
+
+
+def _q_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-BFS ancestor closure over the hierarchy fixture."""
+    from pyontutils_spark.operators.hierarchy import transitive_closure
+    edges = spark.createDataFrame(EDGE_ROWS, "child string, parent string")
+    return transitive_closure(edges, max_depth=10) \
+        .select("node", "ancestor", "depth")
+
+
+def _q_roots_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """roots = parents - children, leaves = children - parents
+    (hierarchies.py:463-465 set differences as anti-joins)."""
+    from pyontutils_spark.operators.hierarchy import roots_and_leaves
+    edges = spark.createDataFrame(EDGE_ROWS, "child string, parent string")
+    roots, leaves = roots_and_leaves(edges)
+    return (roots.withColumn("kind", F.lit("root"))
+            .unionByName(leaves.withColumn("kind", F.lit("leaf"))))
+
+
+def _q_label_multimap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_label2rows: degraded-label multimap with duplicate labels."""
+    rows = [("http://e/1", " Cortex"), ("http://e/2", "cortex "),
+            ("http://e/3", "unique"), ("http://e/4", "CORTEX")]
+    df = spark.createDataFrame(rows, "iri string, label string")
+    return (df.withColumn("label_norm", F.lower(F.trim("label")))
+            .groupBy("label_norm")
+            .agg(F.count("*").alias("n"),
+                 F.array_join(F.sort_array(F.collect_list("iri")), "|")
+                 .alias("iris")))
+
+
+def _q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregation (scan + groupBy + 6 aggregates).
+    Money is converted to integer cents *per row* before summing, so the
+    aggregates are exact integers — immune to float summation order
+    (Spark sums per-partition, DuckDB sequentially)."""
+    li = _lineitem(spark, sf_dir)
+    base_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_cents = F.round(F.col("l_extendedprice")
+                         * (1 - F.col("l_discount")) * 100).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 10000).cast("long")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"),
+                 F.sum(base_cents).alias("sum_base_cents"),
+                 F.sum(disc_cents).alias("sum_disc_cents"),
+                 F.count("*").alias("count_order"),
+                 F.round(F.sum("l_quantity") * 1_000_000 / F.count("*"))
+                 .cast("long").alias("avg_qty_micro"),
+                 F.round(F.sum(disc_bp) * 100.0 / F.count("*"))
+                 .cast("long").alias("avg_disc_micro")))
+
+
+def _q_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-table join + agg + deterministic top-10 (revenue in exact
+    integer cents)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _lineitem(spark, sf_dir)
+    rev_cents = F.round(F.col("l_extendedprice")
+                        * (1 - F.col("l_discount")) * 100).cast("long")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "c_mktsegment")
+            .agg(F.sum(rev_cents).alias("revenue_cents"))
+            .orderBy(F.desc("revenue_cents"), "l_orderkey")
+            .limit(10))
+
+
+def _q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group (row_number <= 3 by value desc)."""
+    from pyspark.sql import Window
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("user_id", "event_id", "value", "rn"))
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window batch aggregation (streaming-shape agg)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    value_cents = F.round(F.col("value") * 100).cast("long")
+    return (ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_ts"),
+        "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(value_cents).alias("sum_value_cents")))
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by md5 digest."""
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def _q_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (fixed formula; score scaled to
+    micro-units so the hash compare is float-free)."""
+    docs = _docs(spark, sf_dir)
+    out = quality_features(docs.select("doc_id", "text"))
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round(F.col("stopword_ratio") * 1_000_000).cast("long")
+        .alias("stop_ratio_micro"),
+        F.round(F.col("quality_score") * 1_000_000).cast("long")
+        .alias("quality_micro"))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language id vs the corpus' own lang column."""
+    docs = _docs(spark, sf_dir)
+    return (docs.select("doc_id", "lang",
+                        lang_id(F.col("text")).alias("lang_pred")))
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature (portable md5 hashing), joined to a string."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.array_join(minhash_signature(F.col("text"), _MINHASH_K), ",")
+        .alias("signature"))
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document."""
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", simhash(F.col("text")).alias("sig"))
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (token-set) Jaccard over doc pairs in a small id
+    window (all-pairs bounded), threshold 0.5; micro-scaled."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
+    ids = docs.select(F.col("doc_id").alias("id_a")) \
+        .join(docs.select(F.col("doc_id").alias("id_b")),
+              F.col("id_a") < F.col("id_b"))
+    out = jaccard_verify(docs, ids, threshold=0.5)
+    return out.select("id_a", "id_b",
+                      F.round(F.col("jaccard") * 1_000_000).cast("long")
+                      .alias("jaccard_micro"))
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 10 vectors."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("q_id"), "embedding"))
+    out = cosine_topk(queries, emb, k=5)
+    return out.select("q_id", "vec_id", "rank",
+                      F.round(F.col("cosine") * 10_000).cast("long")
+                      .alias("cosine_e4"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "curie_expand": _q_curie_expand,
+        "qname": _q_qname,
+        "mention_tokens": _q_mention_tokens,
+        "triples_emit": _q_triples_emit,
+        "entity_pivot": _q_entity_pivot,
+        "cardinality_check": _q_cardinality_check,
+        "sameas_components": _q_sameas_components,
+        "transitive_closure": _q_transitive_closure,
+        "roots_leaves": _q_roots_leaves,
+        "label_multimap": _q_label_multimap,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "top_orders_by_revenue": _q_top_orders_by_revenue,
+        "top_events_per_user": _q_top_events_per_user,
+        "events_hourly": _q_events_hourly,
+        "exact_dedup": _q_exact_dedup,
+        "token_quality": _q_token_quality,
+        "lang_id": _q_lang_id,
+        "minhash": _q_minhash,
+        "simhash": _q_simhash,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "embedding_topk": _q_embedding_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+def _sql_tokens(col: str) -> str:
+    return _TOKEN_CLEAN_SQL.format(col=col)
+
+
+def _sql_stop_hits(col: str, words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (f"len(list_filter({_sql_tokens(col)}, "
+            f"t -> list_contains([{lst}], t)))")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls: dict[str, str] = {}
+
+    sqls["curie_expand"] = f"""
+        WITH vec(curie) AS (VALUES {", ".join(f"('{c}')" for c in CURIE_VECTORS)})
+        SELECT v.curie,
+               p.ns || substr(v.curie, len(split_part(v.curie, ':', 1)) + 2)
+                 AS iri
+        FROM vec v JOIN {_prefix_sql("p")}
+          ON split_part(v.curie, ':', 1) = p.prefix
+        """
+
+    sqls["qname"] = f"""
+        WITH vec(iri) AS (VALUES {_QNAME_VALUES}),
+        matched AS (
+          SELECT v.iri, p.prefix, p.ns,
+                 row_number() OVER (PARTITION BY v.iri
+                                    ORDER BY len(p.ns) DESC, p.prefix) rn
+          FROM vec v JOIN {_prefix_sql("p")}
+            ON starts_with(v.iri, p.ns)
+           AND NOT contains(substr(v.iri, len(p.ns) + 1), '#')
+           AND NOT contains(substr(v.iri, len(p.ns) + 1), '/')
+        )
+        SELECT v.iri,
+               coalesce(m.prefix || ':' || substr(v.iri, len(m.ns) + 1),
+                        v.iri) AS qname
+        FROM vec v LEFT JOIN matched m ON v.iri = m.iri AND m.rn = 1
+        """
+
+    sqls["mention_tokens"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_sql_tokens("text")}) AS term
+          FROM documents WHERE lang = 'en'
+        )
+        SELECT t.doc_id, t.term, count(*) AS n
+        FROM toks t JOIN {_LEX_SQL} ON t.term = lex.term
+        GROUP BY t.doc_id, t.term
+        """
+
+    sqls["triples_emit"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_sql_tokens("text")}) AS term
+          FROM documents WHERE lang = 'en'
+        ),
+        linked AS (
+          SELECT DISTINCT t.doc_id, lex.term, lex.iri
+          FROM toks t JOIN {_LEX_SQL} ON t.term = lex.term
+        )
+        SELECT 'doc:' || doc_id AS subj, '{vocab.IS_ABOUT}' AS pred,
+               iri AS obj FROM linked
+        UNION
+        SELECT DISTINCT iri AS subj, '{vocab.RDFS_LABEL}' AS pred,
+               term AS obj FROM linked
+        """
+
+    sqls["entity_pivot"] = f"""
+        WITH t AS ({sqls["triples_emit"]})
+        SELECT subj, pred, string_agg(obj, '|' ORDER BY obj) AS objs
+        FROM t GROUP BY subj, pred
+        """
+
+    sqls["cardinality_check"] = """
+        WITH t(subj, pred, obj) AS (VALUES
+          ('s1', 'label', 'a'), ('s1', 'label', 'b'),
+          ('s2', 'label', 'only'), ('s3', 'other', 'x'))
+        SELECT subj, count(DISTINCT obj) AS n_labels
+        FROM t WHERE pred = 'label'
+        GROUP BY subj HAVING count(DISTINCT obj) > 1
+        """
+
+    sqls["sameas_components"] = f"""
+        WITH RECURSIVE sym(a, b) AS (
+          SELECT a, b FROM {_SAMEAS_SQL}
+          UNION SELECT b, a FROM {_SAMEAS_SQL.replace("AS sa", "AS sa2")}
+        ),
+        reach(node, r) AS (
+          SELECT a, a FROM sym
+          UNION
+          SELECT s.a, r.r FROM sym s JOIN reach r ON s.b = r.node
+        )
+        SELECT node AS iri, min(r) AS canonical FROM reach GROUP BY node
+        """
+
+    sqls["transitive_closure"] = f"""
+        WITH RECURSIVE tc(node, ancestor, depth) AS (
+          SELECT child, parent, 1 FROM {_EDGE_SQL}
+          UNION
+          SELECT tc.node, e.parent, tc.depth + 1
+          FROM tc JOIN {_EDGE_SQL.replace("AS edges", "AS e")}
+            ON tc.ancestor = e.child
+        ),
+        dedup AS (
+          SELECT node, ancestor, min(depth) AS depth
+          FROM tc GROUP BY node, ancestor
+        )
+        SELECT node, ancestor, depth FROM dedup
+        """
+
+    sqls["roots_leaves"] = f"""
+        WITH e AS (SELECT * FROM {_EDGE_SQL})
+        SELECT DISTINCT parent AS node, 'root' AS kind FROM e
+        WHERE parent NOT IN (SELECT child FROM e)
+        UNION ALL
+        SELECT DISTINCT child AS node, 'leaf' AS kind FROM e
+        WHERE child NOT IN (SELECT parent FROM e)
+        """
+
+    sqls["label_multimap"] = """
+        WITH rows(iri, label) AS (VALUES
+          ('http://e/1', ' Cortex'), ('http://e/2', 'cortex '),
+          ('http://e/3', 'unique'), ('http://e/4', 'CORTEX'))
+        SELECT lower(trim(label)) AS label_norm, count(*) AS n,
+               string_agg(iri, '|' ORDER BY iri) AS iris
+        FROM rows GROUP BY 1
+        """
+
+    sqls["q1_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity))::bigint AS sum_qty,
+               sum(round(l_extendedprice * 100)::bigint) AS sum_base_cents,
+               sum(round(l_extendedprice * (1 - l_discount) * 100)::bigint)
+                 AS sum_disc_cents,
+               count(*) AS count_order,
+               round(sum(l_quantity) * 1000000 / count(*))::bigint
+                 AS avg_qty_micro,
+               round(sum(round(l_discount * 10000)::bigint) * 100.0
+                     / count(*))::bigint AS avg_disc_micro
+        FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+
+    sqls["top_orders_by_revenue"] = """
+        SELECT l_orderkey, c_mktsegment,
+               sum(round(l_extendedprice * (1 - l_discount) * 100)::bigint)
+                 AS revenue_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY l_orderkey, c_mktsegment
+        ORDER BY revenue_cents DESC, l_orderkey
+        LIMIT 10
+        """
+
+    sqls["top_events_per_user"] = """
+        WITH ranked AS (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events
+        )
+        SELECT user_id, event_id, value, rn FROM ranked WHERE rn <= 3
+        """
+
+    sqls["events_hourly"] = """
+        SELECT epoch(date_trunc('hour', ts))::bigint AS hour_ts, event_type,
+               count(*) AS n,
+               sum(round(value * 100)::bigint) AS sum_value_cents
+        FROM events GROUP BY 1, 2
+        """
+
+    sqls["exact_dedup"] = """
+        SELECT md5(text) AS digest, min(doc_id) AS representative,
+               count(*) AS n_dups
+        FROM documents GROUP BY 1
+        """
+
+    en_stop = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    sqls["token_quality"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 len({_sql_tokens("text")}) AS n_tokens,
+                 len(text) AS n_chars,
+                 len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                   AS n_punct,
+                 {_sql_stop_hits("text", STOPWORDS["en"])} AS stop_hits
+          FROM documents
+        ),
+        feat AS (
+          SELECT doc_id, n_tokens,
+                 stop_hits::double / greatest(n_tokens, 1) AS stop_ratio,
+                 least(n_tokens / 100.0, 1.0) AS len_score,
+                 n_punct::double / greatest(n_chars, 1) AS punct_ratio
+          FROM base
+        )
+        SELECT doc_id, n_tokens,
+               round(stop_ratio * 1000000)::bigint AS stop_ratio_micro,
+               round(round(0.5 * len_score + 0.3 * least(stop_ratio * 5, 1.0)
+                     + 0.2 * (1.0 - least(punct_ratio * 10, 1.0)), 6)
+                     * 1000000)::bigint AS quality_micro
+        FROM feat
+        """
+
+    lang_exprs = []
+    for lang in ("en", "de", "fr", "es"):
+        lang_exprs.append(
+            f"{_sql_stop_hits('text', STOPWORDS[lang])}::double"
+            f" / greatest(len({_sql_tokens('text')}), 1) AS s_{lang}")
+    sqls["lang_id"] = f"""
+        WITH scored AS (
+          SELECT doc_id, lang, {", ".join(lang_exprs)}
+          FROM documents
+        )
+        SELECT doc_id, lang,
+          CASE
+            WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es'
+          END AS lang_pred
+        FROM scored
+        """
+
+    mh_parts = []
+    for a, b in _minhash_params(_MINHASH_K):
+        mh_parts.append(
+            f"list_min(list_transform(hs, h -> ({a} * h + {b}) % "
+            f"{MERSENNE_P}))::varchar")
+    sqls["minhash"] = f"""
+        WITH hashed AS (
+          SELECT doc_id,
+                 list_distinct(list_transform({_sql_tokens("text")},
+                   t -> {_H32_SQL.format(x="t")})) AS hs
+          FROM documents
+        )
+        SELECT doc_id, concat_ws(',', {", ".join(mh_parts)}) AS signature
+        FROM hashed
+        """
+
+    bit_parts = []
+    for j in range(32):
+        bit_parts.append(
+            f"CASE WHEN 2 * len(list_filter(hs, h -> (h >> {j}) % 2 = 1)) "
+            f"> len(hs) THEN {1 << j}::bigint ELSE 0 END")
+    sqls["simhash"] = f"""
+        WITH hashed AS (
+          SELECT doc_id,
+                 list_distinct(list_transform({_sql_tokens("text")},
+                   t -> {_H32_SQL.format(x="t")})) AS hs
+          FROM documents
+        )
+        SELECT doc_id, ({" + ".join(bit_parts)}) AS sig
+        FROM hashed
+        """
+
+    sqls["jaccard_pairs"] = f"""
+        WITH toks AS (
+          SELECT doc_id, list_distinct({_sql_tokens("text")}) AS ts
+          FROM documents WHERE doc_id < 60
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.ts, b.ts))::double
+                     / len(list_distinct(list_concat(a.ts, b.ts)))
+                     * 1000000)::bigint AS jaccard_micro
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.ts, b.ts))::double
+              / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.5
+        """
+
+    sqls["embedding_topk"] = """
+        WITH q AS (
+          SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+          WHERE vec_id < 10
+        ),
+        scored AS (
+          SELECT q.q_id, e.vec_id,
+                 list_cosine_similarity(q.qv::double[], e.embedding::double[])
+                   AS cosine
+          FROM q CROSS JOIN embeddings e
+        ),
+        ranked AS (
+          SELECT q_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT q_id, vec_id, rank,
+               round(cosine * 10000)::bigint AS cosine_e4
+        FROM ranked WHERE rank <= 5
+        """
+
+    return sqls
