@@ -1,0 +1,120 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ..., "triples_per_sec": ..., ...}.
+
+The KG pipeline (the engine's raison d'etre) is benched end-to-end:
+synthesized pages (BASELINE input shape) are materialized to a cached
+parquet once (generation excluded from timing), then the timed run is
+extract -> mention -> link -> emit -> noop sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
+
+# pages scale tracks the sf (sf0.1 ~ 600k lineitem -> 20k pages)
+_SF_PAGES = {"sf0.001": 400, "sf0.01": 2_000, "sf0.1": 20_000}
+
+
+def _sf_name() -> str:
+    return os.path.basename(SF_DIR.rstrip("/"))
+
+
+def _n_pages() -> int:
+    return _SF_PAGES.get(_sf_name(), 20_000)
+
+
+def _ensure_pages(spark, n: int) -> str:
+    path = os.path.join(CACHE_DIR, f"pages_{n}.parquet")
+    if not os.path.exists(path):
+        from pyontutils_spark.synth.spark_gen import pages_df
+        pages_df(spark, n).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _force(df) -> int:
+    """Execute the full plan without sink cost; return row count."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from pyontutils_spark.plans.pipeline import run_triple_factory
+    from pyontutils_spark.session import get_spark
+    from pyontutils_spark.synth.lexicon import make_lexicon
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS,
+                      driver_memory="32g")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- KG pipeline end-to-end -----------------------------------------
+    n_pages = _n_pages()
+    pages_path = _ensure_pages(spark, n_pages)
+    lex = make_lexicon()
+    pages = spark.read.parquet(pages_path)
+
+    t0 = time.perf_counter()
+    res = run_triple_factory(spark, pages, lex)
+    n_triples = res.triples.count()
+    dt = time.perf_counter() - t0
+    timings["kg_pipeline"] = round(dt, 3)
+    extras["pages_per_sec"] = round(n_pages / dt, 1)
+    extras["triples_per_sec"] = round(n_triples / dt, 1)
+    extras["n_triples"] = n_triples
+    extras["n_pages"] = n_pages
+
+    # --- warmup: exercise codegen/broadcast/pandas-udf machinery once so
+    # per-query timings measure the operator, not JVM warmup ------------
+    warm = spark.range(1000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("h"))
+    small = spark.range(10).select(F.col("id"))
+    _force(warm.join(F.broadcast(small), "id", "left")
+           .groupBy((F.col("id") % 10).alias("g")).count())
+
+    # --- headline operator queries ---------------------------------------
+    qs = entrymod.queries()
+    bench_queries = [
+        "q1_pricing_summary", "top_orders_by_revenue", "top_events_per_user",
+        "events_hourly", "mention_tokens", "triples_emit", "exact_dedup",
+        "minhash", "simhash", "token_quality", "lang_id", "jaccard_pairs",
+        "embedding_topk", "sameas_components", "transitive_closure",
+    ]
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "kg_triple_factory+operator_suite_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_name(),
+        "cpus": CPUS,
+        **extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

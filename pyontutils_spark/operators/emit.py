@@ -91,10 +91,22 @@ def entity_triples(spark: SparkSession, lexicon: list[dict],
 
 def emit_triples(spark: SparkSession, pages: DataFrame, linked: DataFrame,
                  lexicon: list[dict]) -> DataFrame:
-    """Full factory output with set semantics (union + distinct)."""
-    return (page_type_triples(pages)
-            .unionByName(mention_triples(linked))
-            .unionByName(entity_triples(spark, lexicon, linked))
+    """Full factory output with set semantics (union + distinct).
+
+    ``pages`` should be the RAW pages table (url suffices — passing the
+    extracted-text plan here would re-run the extraction UDF for the
+    page-type triples).  ``linked`` is consumed twice (mention triples +
+    the entity semi-join), so it is persisted here — without the reuse
+    point the whole extract->mention->link chain would execute twice.
+    Callers owning a longer lifecycle can pass an already-persisted plan.
+    """
+    if linked.storageLevel.useMemory or linked.storageLevel.useDisk:
+        linked_cached = linked
+    else:
+        linked_cached = linked.persist()
+    return (page_type_triples(pages.select("url"))
+            .unionByName(mention_triples(linked_cached))
+            .unionByName(entity_triples(spark, lexicon, linked_cached))
             .distinct())
 
 

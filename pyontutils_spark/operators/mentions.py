@@ -17,9 +17,9 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..kernel.ac import AhoCorasick
+from ..kernel.ac import AhoCorasick, build_matcher
 from ..kernel.norm import local_degrade
 
 MENTION_SCHEMA = ("url string, start int, end int, "
@@ -27,10 +27,13 @@ MENTION_SCHEMA = ("url string, start int, end int, "
 
 
 def build_automaton(lexicon: list[dict], min_length: int = 3,
-                    types: set[str] | None = None) -> AhoCorasick:
+                    types: set[str] | None = None):
     """Unique degraded patterns -> payload is the pattern itself (link
     candidates are resolved later by a broadcast join on pattern_norm).
-    ``types`` filters lexicon categories (annotate's includeCat)."""
+    ``types`` filters lexicon categories (annotate's includeCat).
+    Implementation auto-selected: C-speed regex alternation for
+    small/medium lexicons, pure-Python Aho-Corasick past ~20k patterns
+    (identical leftmost-longest semantics either way)."""
     pats = set()
     for t in lexicon:
         if types is not None and t.get("type") not in types:
@@ -38,7 +41,8 @@ def build_automaton(lexicon: list[dict], min_length: int = 3,
         pats.add(t["label_norm"])
         for s in t.get("synonyms", ()):
             pats.add(local_degrade(s))
-    return AhoCorasick(((p, p) for p in sorted(pats)), min_length=min_length)
+    return build_matcher(((p, p) for p in sorted(pats)),
+                         min_length=min_length)
 
 
 def detect_mentions(pages: DataFrame, automaton_bc,
@@ -59,23 +63,7 @@ def detect_mentions(pages: DataFrame, automaton_bc,
     def find_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ac = automaton_bc.value
         for pdf in batches:
-            urls, starts, ends, surfaces, pats = [], [], [], [], []
-            for url, text in zip(pdf["url"], pdf[text_col]):
-                if not text:
-                    continue
-                for s, e, pat in ac.find(text, longest_only=True):
-                    urls.append(url)
-                    starts.append(s)
-                    ends.append(e)
-                    surfaces.append(text[s:e])
-                    pats.append(pat)
-            yield pd.DataFrame({
-                "url": pd.Series(urls, dtype="object"),
-                "start": pd.Series(starts, dtype="int32"),
-                "end": pd.Series(ends, dtype="int32"),
-                "surface": pd.Series(surfaces, dtype="object"),
-                "pattern_norm": pd.Series(pats, dtype="object"),
-            })
+            yield _match_batch(ac, pdf["url"], pdf[text_col])
 
     return src.mapInPandas(find_batches, schema=MENTION_SCHEMA)
 
@@ -84,3 +72,68 @@ def broadcast_automaton(spark: SparkSession, lexicon: list[dict],
                         min_length: int = 3):
     return spark.sparkContext.broadcast(
         build_automaton(lexicon, min_length=min_length))
+
+
+def detect_mentions_fused(pages: DataFrame, automaton_bc,
+                          lang_filter: str | None = "en") -> DataFrame:
+    """Fused extract+mention stage, minimizing JVM<->Python traffic.
+
+    A naive plan ships html to Python (extract), text back to the JVM,
+    then text to Python again (mentions) — three Arrow socket passes
+    over the corpus.  At 100 TB that socket copying dominates (observed
+    as kernel time ~= user time in local runs).  This operator:
+
+    - routes rows with a pre-extracted ``text`` through a stage that
+      never reads html (column pruned at the scan), and
+    - rows with null text through a stage that extracts *inside* the
+      same Python pass that finds mentions, shipping html once and
+      returning only the (tiny) mention rows.
+
+    Output schema/content identical to ``detect_mentions`` over
+    ``with_extracted_text(pages)``.
+    """
+    from ..kernel.extract import html_to_text
+
+    src = pages
+    if lang_filter is not None:
+        src = src.filter(src["lang"] == lang_filter)
+
+    def find_in_text(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ac = automaton_bc.value
+        for pdf in batches:
+            yield _match_batch(ac, pdf["url"], pdf["text"])
+
+    def extract_and_find(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ac = automaton_bc.value
+        for pdf in batches:
+            texts = pdf["html"].map(
+                lambda h: None if h is None else html_to_text(bytes(h)))
+            yield _match_batch(ac, pdf["url"], texts)
+
+    with_text = (src.filter(F.col("text").isNotNull())
+                 .select("url", "text")
+                 .mapInPandas(find_in_text, schema=MENTION_SCHEMA))
+    from_html = (src.filter(F.col("text").isNull())
+                 .select("url", "html")
+                 .mapInPandas(extract_and_find, schema=MENTION_SCHEMA))
+    return with_text.unionByName(from_html)
+
+
+def _match_batch(ac: AhoCorasick, urls, texts) -> pd.DataFrame:
+    out_urls, starts, ends, surfaces, pats = [], [], [], [], []
+    for url, text in zip(urls, texts):
+        if not text:
+            continue
+        for s, e, pat in ac.find(text, longest_only=True):
+            out_urls.append(url)
+            starts.append(s)
+            ends.append(e)
+            surfaces.append(text[s:e])
+            pats.append(pat)
+    return pd.DataFrame({
+        "url": pd.Series(out_urls, dtype="object"),
+        "start": pd.Series(starts, dtype="int32"),
+        "end": pd.Series(ends, dtype="int32"),
+        "surface": pd.Series(surfaces, dtype="object"),
+        "pattern_norm": pd.Series(pats, dtype="object"),
+    })

@@ -31,11 +31,16 @@ class TripleFactoryResult:
 def run_triple_factory(spark: SparkSession, pages: DataFrame,
                        lexicon: list[dict], min_length: int = 3,
                        lang_filter: str | None = "en") -> TripleFactoryResult:
+    # pages_with_text is exposed for inspection/tests; the triples DAG
+    # does NOT depend on it — the fused mention stage extracts inside the
+    # same Python pass (one Arrow round-trip instead of three).
     withtext = with_extracted_text(pages)
     ac_bc = mention_ops.broadcast_automaton(spark, lexicon, min_length)
-    ments = mention_ops.detect_mentions(withtext, ac_bc,
-                                        lang_filter=lang_filter)
+    ments = mention_ops.detect_mentions_fused(pages, ac_bc,
+                                              lang_filter=lang_filter)
     cands = linking.candidates_df(spark, lexicon, min_length, best_only=True)
     linked = linking.link_mentions(ments, cands)
-    triples = emit.emit_triples(spark, withtext, linked, lexicon)
+    # raw pages (url only) for the page-type triples — the extraction UDF
+    # must not run for them; linked is persisted inside emit_triples.
+    triples = emit.emit_triples(spark, pages, linked, lexicon)
     return TripleFactoryResult(withtext, ments, linked, triples)

@@ -63,7 +63,10 @@ class PageRecord(dict):
     mentions [(start, end, surface, pattern_norm)], planted_term_ids."""
 
 
-def make_page(i: int, lexicon: list[dict] | None = None) -> PageRecord:
+def make_page(i: int, lexicon: list[dict] | None = None,
+              scale: int = 1) -> PageRecord:
+    """``scale`` multiplies the sentence count (heavier pages for
+    compute-bound benchmarking); scale=1 is the test corpus."""
     if lexicon is None:
         lexicon = make_lexicon()
     rnd = random.Random(f"page-{i}")
@@ -82,7 +85,7 @@ def make_page(i: int, lexicon: list[dict] | None = None) -> PageRecord:
     mentions: list[tuple[int, int, str, str]] = []  # on final joined text
     pos = len(title_line) + 1  # +1 for the joining '\n'
 
-    n_sent = 2 + rnd.randrange(4)
+    n_sent = (2 + rnd.randrange(4)) * scale
     # head-entity skew decided once per page (~20% of pages)
     head_sentence = rnd.randrange(n_sent) if rnd.random() < HEAD_ENTITY_P \
         else -1

@@ -22,7 +22,7 @@ PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
 
 
 def pages_df(spark: SparkSession, n: int, n_terms: int = 200,
-             partitions: int | None = None) -> DataFrame:
+             partitions: int | None = None, scale: int = 1) -> DataFrame:
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
     rng = spark.range(0, n, 1, partitions)
@@ -30,7 +30,7 @@ def pages_df(spark: SparkSession, n: int, n_terms: int = 200,
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lex = make_lexicon(n_terms)  # deterministic; cheap per task
         for pdf in batches:
-            recs = [make_page(int(i), lex) for i in pdf["id"]]
+            recs = [make_page(int(i), lex, scale=scale) for i in pdf["id"]]
             yield pd.DataFrame({
                 "url": [r["url"] for r in recs],
                 "warc_ts": [r["warc_ts"].replace(tzinfo=None) for r in recs],

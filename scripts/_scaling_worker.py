@@ -1,0 +1,43 @@
+"""Single scaling-bench run: KG pipeline on a pre-generated pages
+parquet at a given core count.  Prints one JSON line."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(pages_path: str, cores: int) -> None:
+    from pyontutils_spark.plans.pipeline import run_triple_factory
+    from pyontutils_spark.session import get_spark
+    from pyontutils_spark.synth.lexicon import make_lexicon
+
+    spark = get_spark(f"scaling_{cores}", cores=cores,
+                      shuffle_partitions=cores, driver_memory="32g")
+    pages = spark.read.parquet(pages_path)
+    n_pages = pages.count()
+    lex = make_lexicon()
+
+    # warmup pass (JIT/codegen), then measured pass
+    run_triple_factory(spark, pages.limit(500), lex).triples.count()
+
+    t0 = time.perf_counter()
+    res = run_triple_factory(spark, pages, lex)
+    n_triples = res.triples.count()
+    dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        "cores": cores, "seconds": round(dt, 3), "n_pages": n_pages,
+        "n_triples": n_triples,
+        "pages_per_sec": round(n_pages / dt, 1),
+        "triples_per_sec": round(n_triples / dt, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], int(sys.argv[2]))

@@ -88,3 +88,38 @@ def test_ac_non_overlapping_sequence():
     # leftmost-longest: 'abc' wins at 0, then 'cd' can't start before 3
     hits = ac.find("abc cd", longest_only=True)
     assert [h[2] for h in hits] == ["abc", "cd"]
+
+
+def test_regex_matcher_equivalent_to_ac():
+    """RegexMatcher must produce identical results to AhoCorasick on the
+    synthetic corpus (same leftmost-longest + boundary semantics)."""
+    from pyontutils_spark.kernel.ac import RegexMatcher
+    from pyontutils_spark.synth.lexicon import (
+        MIN_LENGTH, make_lexicon, match_entries)
+    from pyontutils_spark.synth.pages import make_pages
+
+    lex = make_lexicon()
+    pats = sorted({p for p, _ in match_entries(lex)})
+    ac = AhoCorasick([(p, p) for p in pats], min_length=MIN_LENGTH)
+    rx = RegexMatcher([(p, p) for p in pats], min_length=MIN_LENGTH)
+    for page in make_pages(60, lex):
+        t = page["golden_text"]
+        assert rx.find(t) == ac.find(t), page["url"]
+    # boundary nuances: underscore is NOT alnum (both must match here)
+    for text in ["_hippocampus_", "xhippocampus", "hippocampus9",
+                 "the hippocampus.", "HIPPOCAMPUS"]:
+        assert rx.find(text) == ac.find(text), text
+
+
+def test_fast_extractor_equals_reference_on_corpus():
+    from pyontutils_spark.kernel.extract import (
+        html_to_text, html_to_text_reference)
+    from pyontutils_spark.synth.pages import make_pages
+    for page in make_pages(80):
+        fast = html_to_text(page["html"])
+        ref = html_to_text_reference(page["html"])
+        assert fast == ref == page["golden_text"], page["url"]
+    assert html_to_text(HTML) == html_to_text_reference(HTML)
+    # entity-encoded tags must survive as literal text in both
+    tricky = b"<p>a &lt;script&gt; b</p><div>x<br>y</div>"
+    assert html_to_text(tricky) == html_to_text_reference(tricky)
