@@ -140,7 +140,11 @@ def commutative_checksum(triples: DataFrame, *group_cols) -> DataFrame:
         F.col("obj_is_literal").cast("string"),
         F.coalesce("obj_datatype", F.lit("")),
         F.coalesce("obj_lang", F.lit(""))), 256), 1, 15), 16, 10) \
-        .cast("long")
+        .cast("decimal(38,0)")
     gb = triples.groupBy(*group_cols) if group_cols else triples.groupBy()
-    return gb.agg(F.sum(h).alias("checksum_sum"),
-                  F.count("*").alias("n_triples"))
+    # sum in decimal(38,0) (no int64 overflow even at 10^12 triples),
+    # then reduce mod 2^61 back into a long
+    return gb.agg(
+        F.pmod(F.sum(h), F.lit(2 ** 61).cast("decimal(38,0)"))
+        .cast("long").alias("checksum_sum"),
+        F.count("*").alias("n_triples"))

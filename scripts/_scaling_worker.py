@@ -1,5 +1,6 @@
 """Single scaling-bench run: KG pipeline on a pre-generated pages
-parquet at a given core count.  Prints one JSON line."""
+parquet at a given core count.  Full warmup run, then the measured run.
+Prints one JSON line."""
 
 from __future__ import annotations
 
@@ -10,6 +11,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+os.makedirs("/dev/shm/spark-graft", exist_ok=True)
+
 
 def main(pages_path: str, cores: int) -> None:
     from pyontutils_spark.plans.pipeline import run_triple_factory
@@ -17,13 +20,16 @@ def main(pages_path: str, cores: int) -> None:
     from pyontutils_spark.synth.lexicon import make_lexicon
 
     spark = get_spark(f"scaling_{cores}", cores=cores,
-                      shuffle_partitions=cores, driver_memory="32g")
+                      shuffle_partitions=cores, driver_memory="48g",
+                      extra={"spark.local.dir": "/dev/shm/spark-graft"})
     pages = spark.read.parquet(pages_path)
     n_pages = pages.count()
     lex = make_lexicon()
 
-    # warmup pass (JIT/codegen), then measured pass
-    run_triple_factory(spark, pages.limit(500), lex).triples.count()
+    # full warmup pass (JIT/codegen/python worker spawn on all cores)
+    r = run_triple_factory(spark, pages, lex)
+    r.triples.count()
+    r.linked.unpersist()
 
     t0 = time.perf_counter()
     res = run_triple_factory(spark, pages, lex)
