@@ -75,7 +75,8 @@ def broadcast_automaton(spark: SparkSession, lexicon: list[dict],
 
 
 def detect_mentions_fused(pages: DataFrame, automaton_bc,
-                          lang_filter: str | None = "en") -> DataFrame:
+                          lang_filter: str | None = "en",
+                          passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Fused extract+mention stage, minimizing JVM<->Python traffic.
 
     A naive plan ships html to Python (extract), text back to the JVM,
@@ -97,43 +98,55 @@ def detect_mentions_fused(pages: DataFrame, automaton_bc,
     src = pages
     if lang_filter is not None:
         src = src.filter(src["lang"] == lang_filter)
+    schema = MENTION_SCHEMA
+    if passthrough:
+        extra = {f.name: f.dataType.simpleString()
+                 for f in pages.schema.fields if f.name in passthrough}
+        schema = MENTION_SCHEMA + ", " + ", ".join(
+            f"{c} {extra[c]}" for c in passthrough)
 
     def find_in_text(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ac = automaton_bc.value
         for pdf in batches:
-            yield _match_batch(ac, pdf["url"], pdf["text"])
+            yield _match_batch(ac, pdf, pdf["text"], passthrough)
 
     def extract_and_find(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ac = automaton_bc.value
         for pdf in batches:
             texts = pdf["html"].map(
                 lambda h: None if h is None else html_to_text(bytes(h)))
-            yield _match_batch(ac, pdf["url"], texts)
+            yield _match_batch(ac, pdf, texts, passthrough)
 
     with_text = (src.filter(F.col("text").isNotNull())
-                 .select("url", "text")
-                 .mapInPandas(find_in_text, schema=MENTION_SCHEMA))
+                 .select("url", "text", *passthrough)
+                 .mapInPandas(find_in_text, schema=schema))
     from_html = (src.filter(F.col("text").isNull())
-                 .select("url", "html")
-                 .mapInPandas(extract_and_find, schema=MENTION_SCHEMA))
+                 .select("url", "html", *passthrough)
+                 .mapInPandas(extract_and_find, schema=schema))
     return with_text.unionByName(from_html)
 
 
-def _match_batch(ac: AhoCorasick, urls, texts) -> pd.DataFrame:
-    out_urls, starts, ends, surfaces, pats = [], [], [], [], []
-    for url, text in zip(urls, texts):
+def _match_batch(ac, pdf: pd.DataFrame, texts,
+                 passthrough: tuple[str, ...] = ()) -> pd.DataFrame:
+    rows_idx, starts, ends, surfaces, pats = [], [], [], [], []
+    for i, text in enumerate(texts):
         if not text:
             continue
         for s, e, pat in ac.find(text, longest_only=True):
-            out_urls.append(url)
+            rows_idx.append(i)
             starts.append(s)
             ends.append(e)
             surfaces.append(text[s:e])
             pats.append(pat)
-    return pd.DataFrame({
-        "url": pd.Series(out_urls, dtype="object"),
+    out = pd.DataFrame({
+        "url": pdf["url"].iloc[rows_idx].to_numpy()
+        if rows_idx else pd.Series([], dtype="object"),
         "start": pd.Series(starts, dtype="int32"),
         "end": pd.Series(ends, dtype="int32"),
         "surface": pd.Series(surfaces, dtype="object"),
         "pattern_norm": pd.Series(pats, dtype="object"),
     })
+    for c in passthrough:
+        out[c] = pdf[c].iloc[rows_idx].to_numpy() if rows_idx else \
+            pd.Series([], dtype=pdf[c].dtype)
+    return out

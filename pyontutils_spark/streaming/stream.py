@@ -1,0 +1,85 @@
+"""Structured Streaming variant of the triple factory.
+
+The reference is batch-only (SURVEY.md §2.10), but a web-scale triple
+factory ingests crawl data continuously; this module runs the SAME
+operator chain (fused extract+mention -> broadcast link -> emit) as a
+streaming query:
+
+- ``stream_triples``: file-source stream of pages -> foreachBatch
+  emitting page-level triples with per-batch dedup; exactly-once via
+  the streaming checkpoint (committed batch ids) + idempotent parquet
+  writes keyed by batch id.
+- ``mention_rate``: watermarked tumbling-window aggregation of mention
+  counts by entity over ``warc_ts`` (late data handled by watermark) —
+  the canonical streaming-agg shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import emit, linking, mentions as mention_ops
+from ..synth.spark_gen import PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, input_path: str,
+                      max_files_per_trigger: int = 4) -> DataFrame:
+    return (spark.readStream.schema(PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(input_path))
+
+
+def stream_triples(spark: SparkSession, input_path: str,
+                   lexicon: list[dict], out_dir: str,
+                   checkpoint_dir: str):
+    """Start the streaming triple factory; returns the StreamingQuery.
+
+    Page-level triples only (entity triples are lexicon-derived statics,
+    emitted once by the batch path).  foreachBatch gives exactly-once:
+    a replayed batch overwrites its own ``batch=<id>`` directory.
+    """
+    pages = read_pages_stream(spark, input_path)
+    ac_bc = mention_ops.broadcast_automaton(spark, lexicon)
+    cands = linking.candidates_df(spark, lexicon)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ments = mention_ops.detect_mentions_fused(batch_df, ac_bc)
+        linked = linking.link_mentions(ments, cands)
+        tri = (emit.page_type_triples(batch_df.select("url"))
+               .unionByName(emit.mention_triples(linked))
+               .distinct())
+        (tri.write.mode("overwrite")
+         .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+
+    return (pages.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_stream_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    return (spark.read.option("recursiveFileLookup", "true")
+            .parquet(out_dir).distinct())
+
+
+def mention_rate(spark: SparkSession, input_path: str,
+                 lexicon: list[dict], window: str = "1 hour",
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming DataFrame: mentions per (window, entity iri), tolerant
+    of late pages up to the watermark."""
+    pages = read_pages_stream(spark, input_path)
+    ac_bc = mention_ops.broadcast_automaton(spark, lexicon)
+    cands = linking.candidates_df(spark, lexicon)
+    # warc_ts rides through the fused Python stage as a passthrough column
+    ments = mention_ops.detect_mentions_fused(pages, ac_bc,
+                                              passthrough=("warc_ts",))
+    linked = linking.link_mentions(ments, cands)
+    return (linked
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("w"), "iri")
+            .agg(F.count("*").alias("n_mentions"))
+            .select(F.col("w.start").alias("window_start"), "iri",
+                    "n_mentions"))
