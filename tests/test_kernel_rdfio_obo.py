@@ -1,0 +1,125 @@
+"""Pure-kernel tests: N-Triples parse/format round-trip, canonical
+turtle formatting, OBO stanza parse -> triples -> format round-trip."""
+
+from pyontutils_spark.kernel.curies import PrefixMap
+from pyontutils_spark.kernel.obo import (
+    format_obo_stanza, id_fix, parse_obo, stanza_triples)
+from pyontutils_spark.kernel.rdfio import (
+    format_ntriple, format_turtle, parse_ntriple)
+
+
+def test_ntriples_roundtrip():
+    cases = [
+        ("http://a/s", "http://a/p", "http://a/o", False, None, None),
+        ("http://a/s", "http://a/p", "plain lit", True, None, None),
+        ("http://a/s", "http://a/p", "typed",
+         True, "http://www.w3.org/2001/XMLSchema#string", None),
+        ("http://a/s", "http://a/p", "tagged", True, None, "en"),
+        ("http://a/s", "http://a/p", 'quotes " and \\ and\nnewline',
+         True, None, None),
+    ]
+    for t in cases:
+        line = format_ntriple(*t)
+        assert parse_ntriple(line) == t, line
+
+
+def test_ntriples_parse_edge_cases():
+    assert parse_ntriple("") is None
+    assert parse_ntriple("# comment") is None
+    assert parse_ntriple("not a triple") is None
+    got = parse_ntriple(
+        '<http://a/s> <http://a/p> "hi"@en-GB .')
+    assert got == ("http://a/s", "http://a/p", "hi", True, None, "en-GB")
+
+
+def test_turtle_canonical_format():
+    pm = PrefixMap({"ex": "http://e/", "rdf":
+                    "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+                    "owl": "http://www.w3.org/2002/07/owl#"})
+    triples = [
+        ("http://e/a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://www.w3.org/2002/07/owl#Class", False, None, None),
+        ("http://e/a", "http://e/label", "A thing", True, None, None),
+        ("http://e/a", "http://e/label", "Second label", True, None, None),
+        ("http://e/b", "http://e/label", "B", True, None, "en"),
+    ]
+    ttl = format_turtle(triples, pm)
+    assert "@prefix ex: <http://e/> ." in ttl
+    assert "@prefix owl: <http://www.w3.org/2002/07/owl#> ." in ttl
+    assert "ex:a\n    a owl:Class" in ttl
+    assert 'ex:label "A thing",\n        "Second label" .' in ttl
+    assert '"B"@en' in ttl
+    # deterministic: same input -> same bytes
+    assert format_turtle(triples, pm) == ttl
+
+
+OBO = """format-version: 1.2
+ontology: test
+
+[Term]
+id: GO:0000001
+name: mitochondrion inheritance
+namespace: biological_process
+def: "The distribution of mitochondria." [GOC:mcc]
+synonym: "mitochondrial inheritance" EXACT []
+is_a: GO:0048308 ! organelle inheritance
+xref: Wikipedia:Mito
+
+[Term]
+id: GO:0000002
+name: obsolete thing
+is_obsolete: true
+replaced_by: GO:0000001
+
+[Typedef]
+id: part_of
+name: part of
+"""
+
+
+def test_obo_parse():
+    doc = parse_obo(OBO)
+    assert doc["header"]["format-version"] == ["1.2"]
+    assert len(doc["stanzas"]) == 3
+    t1 = doc["stanzas"][0]
+    assert t1["id"] == ["GO:0000001"]
+    assert t1["is_a"] == ["GO:0048308"]
+
+
+def test_obo_id_fix():
+    assert id_fix("GO:0000001") == "http://purl.obolibrary.org/obo/GO_0000001"
+    assert id_fix("http://x/y") == "http://x/y"
+
+
+def test_obo_stanza_triples():
+    doc = parse_obo(OBO)
+    t1 = set(stanza_triples(doc["stanzas"][0]))
+    subj = "http://purl.obolibrary.org/obo/GO_0000001"
+    assert (subj, "http://www.w3.org/2000/01/rdf-schema#label",
+            "mitochondrion inheritance", True) in t1
+    assert (subj, "http://www.w3.org/2000/01/rdf-schema#subClassOf",
+            "http://purl.obolibrary.org/obo/GO_0048308", False) in t1
+    assert (subj,
+            "http://www.geneontology.org/formats/oboInOwl#hasExactSynonym",
+            "mitochondrial inheritance", True) in t1
+    assert (subj, "http://purl.obolibrary.org/obo/IAO_0000115",
+            "The distribution of mitochondria.", True) in t1
+    t2 = set(stanza_triples(doc["stanzas"][1]))
+    assert ("http://purl.obolibrary.org/obo/GO_0000002",
+            "http://www.w3.org/2002/07/owl#deprecated", "true", True) in t2
+    assert ("http://purl.obolibrary.org/obo/GO_0000002",
+            "http://purl.obolibrary.org/obo/IAO_0100001",
+            "http://purl.obolibrary.org/obo/GO_0000001", False) in t2
+    t3 = set(stanza_triples(doc["stanzas"][2]))
+    assert ("http://purl.obolibrary.org/obo/part_of",
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://www.w3.org/2002/07/owl#ObjectProperty", False) in t3
+
+
+def test_obo_format_roundtrip():
+    doc = parse_obo(OBO)
+    text = format_obo_stanza(doc["stanzas"][0])
+    re1 = parse_obo(text)["stanzas"][0]
+    assert re1["id"] == ["GO:0000001"]
+    assert re1["is_a"] == ["GO:0048308"]
+    assert re1 == {k: v for k, v in doc["stanzas"][0].items()}
