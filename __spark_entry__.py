@@ -352,6 +352,58 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("jaccard_micro"))
 
 
+_GRAPH_TRIPLES = [
+    ("g1", "http://e/a", "http://p/type", "http://c/Class", False),
+    ("g1", "http://e/a", "http://p/label", "a label", True),
+    ("g1", "http://e/shared", "http://p/label", "shared", True),
+    ("g2", "http://e/shared", "http://p/label", "shared", True),
+    ("g2", "http://e/b", "http://p/label", "b label", True),
+    ("g2", "http://e/dead", "http://p/deprecated", "true", True),
+]
+_GRAPH_VALUES = ", ".join(
+    f"('{g}', '{s}', '{p}', '{o}', {str(il).lower()})"
+    for g, s, p, o, il in _GRAPH_TRIPLES)
+_GRAPH_SQL = (f"(VALUES {_GRAPH_VALUES}) AS "
+              "t(graph, subj, pred, obj, obj_is_literal)")
+
+
+def _graph_triples_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _GRAPH_TRIPLES,
+        "graph string, subj string, pred string, obj string, "
+        "obj_is_literal boolean")
+
+
+def _q_url_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """furls (ontutils.py:301-303): distinct URIRefs from all triple
+    positions of the emitted triples."""
+    from pyontutils_spark.operators.filters import all_uris
+    t = _q_triples_emit(spark, sf_dir) \
+        .withColumn("obj_is_literal", F.col("pred") == vocab.RDFS_LABEL) \
+        .withColumn("obj_datatype", F.lit(None).cast("string"))
+    return all_uris(t)
+
+
+def _q_graph_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise graph intersection (overlaps.py:19-33) without the n²
+    loop: triples shared by more than one graph."""
+    from pyontutils_spark.operators.filters import graph_overlaps
+    out = graph_overlaps(_graph_triples_df(spark))
+    return out.select("subj", "pred", "obj",
+                      F.array_join("graphs", "|").alias("graphs"),
+                      "n_graphs")
+
+
+def _q_graph_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference between two graphs (anti-join semantics,
+    hierarchies.py:463-465 style)."""
+    from pyontutils_spark.operators.filters import graph_difference
+    t = _graph_triples_df(spark)
+    g1 = t.filter("graph = 'g1'").drop("graph")
+    g2 = t.filter("graph = 'g2'").drop("graph")
+    return graph_difference(g1, g2).select("subj", "pred", "obj")
+
+
 def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for the first 10 vectors."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -386,6 +438,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "jaccard_pairs": _q_jaccard_pairs,
         "embedding_topk": _q_embedding_topk,
+        "url_projection": _q_url_projection,
+        "graph_overlaps": _q_graph_overlaps,
+        "graph_difference": _q_graph_difference,
     }
 
 
@@ -660,6 +715,33 @@ def oracle_sql() -> dict[str, str]:
         FROM toks a JOIN toks b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.ts, b.ts))::double
               / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.5
+        """
+
+    sqls["url_projection"] = f"""
+        WITH t AS ({sqls["triples_emit"]})
+        SELECT DISTINCT uri FROM (
+          SELECT subj AS uri FROM t
+          UNION ALL SELECT pred FROM t
+          UNION ALL SELECT obj FROM t WHERE pred = '{vocab.IS_ABOUT}'
+        ) u WHERE starts_with(uri, 'http')
+        """
+
+    sqls["graph_overlaps"] = f"""
+        SELECT subj, pred, obj,
+               string_agg(DISTINCT graph, '|' ORDER BY graph) AS graphs,
+               count(DISTINCT graph) AS n_graphs
+        FROM {_GRAPH_SQL}
+        GROUP BY subj, pred, obj
+        HAVING count(DISTINCT graph) > 1
+        """
+
+    sqls["graph_difference"] = f"""
+        SELECT subj, pred, obj FROM {_GRAPH_SQL} WHERE graph = 'g1'
+        EXCEPT
+        SELECT subj, pred, obj FROM
+        (VALUES {_GRAPH_VALUES}) AS t2(graph, subj, pred, obj,
+                                       obj_is_literal)
+        WHERE graph = 'g2'
         """
 
     sqls["embedding_topk"] = """

@@ -31,14 +31,21 @@ def main(pages_path: str, cores: int) -> None:
     r.triples.count()
     r.linked.unpersist()
 
-    t0 = time.perf_counter()
-    res = run_triple_factory(spark, pages, lex)
-    n_triples = res.triples.count()
-    dt = time.perf_counter() - t0
+    # best-of-2 measured runs (shared-host interference shows up as
+    # sporadic slowdowns; the best run is the uncontended measurement)
+    times, n_triples = [], 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = run_triple_factory(spark, pages, lex)
+        n_triples = res.triples.count()
+        times.append(time.perf_counter() - t0)
+        res.linked.unpersist()
+    dt = min(times)
 
     print(json.dumps({
-        "cores": cores, "seconds": round(dt, 3), "n_pages": n_pages,
-        "n_triples": n_triples,
+        "cores": cores, "seconds": round(dt, 3),
+        "all_runs_sec": [round(t, 3) for t in times],
+        "n_pages": n_pages, "n_triples": n_triples,
         "pages_per_sec": round(n_pages / dt, 1),
         "triples_per_sec": round(n_triples / dt, 1),
     }))

@@ -1,0 +1,75 @@
+"""Projection/filter/set operators (SURVEY §2.2, §2.7) + necromancy
+replacement mapping."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyontutils_spark.operators import vocab
+from pyontutils_spark.operators.components import rewrite_triples
+from pyontutils_spark.operators.filters import (
+    all_uris, deprecated_subjects, graph_difference, graph_intersection,
+    graph_overlaps, graph_union, predicate_projection, replacement_mapping,
+    triple_pattern, uri_frequency)
+
+ROWS = [
+    ("http://e/a", vocab.RDF_TYPE, vocab.OWL_CLASS, False, None, None),
+    ("http://e/a", vocab.RDFS_LABEL, "a label", True, None, None),
+    ("http://e/a", vocab.DEFINITION, "a def", True, None, None),
+    ("http://e/dead", vocab.OWL_DEPRECATED, "true", True, None, None),
+    ("http://e/dead", vocab.REPLACED_BY, "http://e/a", False, None, None),
+    ("http://e/x", vocab.IS_ABOUT, "http://e/dead", False, None, None),
+]
+
+
+@pytest.fixture(scope="module")
+def t(spark):
+    return spark.createDataFrame(ROWS, vocab.TRIPLE_SCHEMA)
+
+
+def test_triple_pattern(spark, t):
+    assert triple_pattern(t, subj="http://e/a").count() == 3
+    assert triple_pattern(t, pred=vocab.RDFS_LABEL).count() == 1
+    assert triple_pattern(t, subj="http://e/a",
+                          pred=vocab.RDF_TYPE).count() == 1
+
+
+def test_predicate_projection(spark, t):
+    got = predicate_projection(t, [vocab.RDFS_LABEL, vocab.DEFINITION])
+    assert {r.obj for r in got.collect()} == {"a label", "a def"}
+
+
+def test_all_uris(spark, t):
+    uris = {r.uri for r in all_uris(t).collect()}
+    assert "http://e/a" in uris and vocab.RDF_TYPE in uris
+    assert "a label" not in uris  # literals excluded
+
+
+def test_deprecated_and_replacement(spark, t):
+    assert {r.subj for r in deprecated_subjects(t).collect()} == \
+        {"http://e/dead"}
+    mapping = replacement_mapping(t)
+    rewritten = rewrite_triples(t, mapping)
+    got = {(r.subj, r.pred, r.obj) for r in rewritten.collect()}
+    # the isAbout edge now points at the replacement
+    assert ("http://e/x", vocab.IS_ABOUT, "http://e/a") in got
+    # provenance sameAs emitted
+    assert ("http://e/dead", vocab.OWL_SAMEAS, "http://e/a") in got
+
+
+def test_uri_frequency(spark, t):
+    freq = {r.uri: r["count"] for r in uri_frequency(
+        t, min_count=2, min_len=5).collect()}
+    assert freq["http://e/a"] == 4  # subj x3 + obj of replacedBy x1
+
+
+def test_graph_setops(spark, t):
+    a = t.limit(3)
+    b = t
+    assert graph_union(a, b).count() == 6
+    assert graph_difference(b, a).count() == 3
+    assert graph_intersection(a, b).count() == 3
+    tagged = (a.withColumn("graph", F.lit("g1"))
+              .unionByName(b.withColumn("graph", F.lit("g2"))))
+    ov = graph_overlaps(tagged)
+    assert ov.count() == 3
+    assert all(r.graphs == ["g1", "g2"] for r in ov.collect())

@@ -1,0 +1,81 @@
+"""RDF sources/sinks: NT read/write round-trip, deterministic turtle
+(byte-identical under shuffled partitioning — the ttlser golden-file
+pattern), OBO -> triples."""
+
+import os
+
+import pytest
+
+from pyontutils_spark.kernel.curies import PrefixMap
+from pyontutils_spark.operators import vocab
+from pyontutils_spark.sources.rdf import (
+    read_ntriples, read_obo, write_ntriples, write_turtle_string)
+
+TRIPLES = [
+    ("http://e/b", vocab.RDF_TYPE, vocab.OWL_CLASS, False, None, None),
+    ("http://e/b", vocab.RDFS_LABEL, "thing b", True, None, None),
+    ("http://e/a10", vocab.RDFS_LABEL, 'has "quotes" and \\slash', True,
+     None, None),
+    ("http://e/a9", vocab.RDFS_LABEL, "tagged", True, None, "en"),
+    ("http://e/a9", vocab.RDFS_SUBCLASSOF, "http://e/b", False, None, None),
+]
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    return spark.createDataFrame(TRIPLES, vocab.TRIPLE_SCHEMA)
+
+
+def test_nt_write_read_roundtrip(spark, tdf, tmp_path):
+    path = str(tmp_path / "out.nt")
+    write_ntriples(tdf, path)
+    back = read_ntriples(spark, path)
+    got = {(r.subj, r.pred, r.obj, r.obj_is_literal, r.obj_datatype,
+            r.obj_lang) for r in back.collect()}
+    assert got == set(TRIPLES)
+
+
+def test_nt_write_deterministic_bytes(spark, tdf, tmp_path):
+    outs = []
+    for i, parts in enumerate((1, 3, 5)):
+        path = str(tmp_path / f"o{i}.nt")
+        write_ntriples(tdf.repartition(parts), path)
+        files = [f for f in os.listdir(path) if f.startswith("part-")]
+        with open(os.path.join(path, files[0]), "rb") as f:
+            outs.append(f.read())
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_turtle_deterministic_under_shuffle(spark, tdf):
+    pm = PrefixMap()
+    ttls = {write_turtle_string(tdf.repartition(p), pm) for p in (1, 2, 7)}
+    assert len(ttls) == 1
+    ttl = ttls.pop()
+    assert "@prefix owl:" in ttl and "@prefix rdfs:" in ttl
+    assert "a owl:Class" in ttl
+
+
+OBO_TEXT = """format-version: 1.2
+
+[Term]
+id: GO:0000001
+name: mitochondrion inheritance
+is_a: GO:0048308
+
+[Term]
+id: GO:0000002
+name: second term
+"""
+
+
+def test_read_obo(spark, tmp_path):
+    p = tmp_path / "test.obo"
+    p.write_text(OBO_TEXT)
+    df = read_obo(spark, str(p))
+    got = {(r.subj, r.pred, r.obj, r.obj_is_literal) for r in df.collect()}
+    assert ("http://purl.obolibrary.org/obo/GO_0000001",
+            vocab.RDFS_LABEL, "mitochondrion inheritance", True) in got
+    assert ("http://purl.obolibrary.org/obo/GO_0000001",
+            vocab.RDFS_SUBCLASSOF,
+            "http://purl.obolibrary.org/obo/GO_0048308", False) in got
+    assert len({s for s, *_ in got}) == 2
