@@ -28,7 +28,7 @@ from ..operators import vocab
 from ..operators.ordering import canonical_order
 
 _NT_REGEX = (r"^\s*<([^>]*)>\s+<([^>]*)>\s+"
-             r"(?:<([^>]*)>|\"((?:[^\"\\\\]|\\\\.)*)\""
+             r"(?:<([^>]*)>|\"((?:[^\"\\]|\\.)*)\""
              r"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?)\s*\.\s*$")
 
 
@@ -63,7 +63,10 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
         .cast("string").alias("obj_lang")))
 
 
-@F.pandas_udf("string")
+from pyspark.sql.types import StringType
+
+
+@F.pandas_udf(StringType())
 def _unescape_udf(s: pd.Series) -> pd.Series:
     from ..kernel.rdfio import _unescape
     return s.map(lambda x: None if x is None else _unescape(x))
