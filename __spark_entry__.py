@@ -18,7 +18,7 @@ from pyontutils_spark.kernel.curies import DEFAULT as PREFIXES
 from pyontutils_spark.operators import vocab
 from pyontutils_spark.operators.dedup import (
     MERSENNE_P, _minhash_params, exact_dedup_groups, h32,
-    jaccard_verify, minhash_signature, simhash, tokens_col)
+    jaccard_verify, minhash_df, simhash_df, tokens_col)
 from pyontutils_spark.operators.simsearch import cosine_topk
 from pyontutils_spark.operators.textstats import (
     STOPWORDS, lang_id, quality_features, token_count)
@@ -327,16 +327,15 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature (portable md5 hashing), joined to a string."""
     docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id",
-        F.array_join(minhash_signature(F.col("text"), _MINHASH_K), ",")
-        .alias("signature"))
+    return (minhash_df(docs.select("doc_id", "text"), k=_MINHASH_K)
+            .select("doc_id",
+                    F.array_join("minhash", ",").alias("signature")))
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document."""
     docs = _docs(spark, sf_dir)
-    return docs.select("doc_id", simhash(F.col("text")).alias("sig"))
+    return simhash_df(docs.select("doc_id", "text"))
 
 
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
