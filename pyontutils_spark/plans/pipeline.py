@@ -44,3 +44,25 @@ def run_triple_factory(spark: SparkSession, pages: DataFrame,
     # must not run for them; linked is persisted inside emit_triples.
     triples = emit.emit_triples(spark, pages, linked, lexicon)
     return TripleFactoryResult(withtext, ments, linked, triples)
+
+
+def canonicalize_triples(triples):
+    """Entity-canonicalization pass over factory output: sameAs candidate
+    edges from duplicate rdfs:label values, connected components, rewrite
+    every triple through (iri -> natsort-min canonical), emit owl:sameAs
+    provenance — the reference's synonym/label collapsing
+    (get_label2rows interlex_sql.py:271-282 + switchURIs/swapUriSwitch
+    ontutils.py:71-91, 521-583) as one declarative pass."""
+    from pyspark.sql import functions as F
+
+    from ..operators import vocab
+    from ..operators.components import (
+        canonical_mapping, rewrite_triples, sameas_candidates_from_lexicon)
+
+    labels = (triples.filter(F.col("pred") == vocab.RDFS_LABEL)
+              .select(F.col("subj").alias("iri"),
+                      F.lower(F.trim("obj")).alias("label_norm"))
+              .distinct())
+    edges = sameas_candidates_from_lexicon(labels)
+    mapping = canonical_mapping(edges)
+    return rewrite_triples(triples, mapping)

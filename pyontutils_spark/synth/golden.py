@@ -92,6 +92,55 @@ def entity_triples(term: dict):
             yield (iri, REPLACED_BY, PREFIXES.expand(term["replaced_by"]), False)
 
 
+def canonicalized_corpus_triples(pages, lexicon):
+    """Golden oracle for the canonicalization pass: union-find over
+    duplicate-normalized-label groups of the emitted triples, canonical
+    = natsort-min member, every triple rewritten through the mapping,
+    owl:sameAs provenance per collapsed IRI."""
+    triples = corpus_triples(pages, lexicon)
+    by_label: dict[str, list[str]] = {}
+    for s, p, o, il in triples:
+        if p == RDFS_LABEL:
+            by_label.setdefault(local_degrade(o), []).append(s)
+
+    parent: dict[str, str] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    groups = [sorted(set(m)) for m in by_label.values() if len(set(m)) > 1]
+    for members in groups:
+        for m in members[1:]:
+            union(members[0], m)
+    comp: dict[str, list[str]] = {}
+    for members in groups:
+        for m in members:
+            comp.setdefault(find(m), []).append(m)
+    mapping: dict[str, str] = {}
+    for members in comp.values():
+        canon = min(set(members), key=natsort_key)
+        for m in set(members):
+            mapping[m] = canon
+
+    out = set()
+    for s, p, o, il in triples:
+        ns = mapping.get(s, s)
+        no = o if il else mapping.get(o, o)
+        out.add((ns, p, no, il))
+    for m, canon in mapping.items():
+        if m != canon:
+            out.add((m, PREFIXES.expand("owl:sameAs"), canon, False))
+    return out
+
+
 def corpus_triples(pages, lexicon) -> set[tuple[str, str, str, bool]]:
     """The full golden triple set for a page corpus (set semantics — the
     rdflib Graph the reference accumulates into is a set)."""

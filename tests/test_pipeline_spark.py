@@ -118,3 +118,20 @@ def test_page_iri_jvm_matches_kernel(spark, result):
             .filter("obj like '%WebPage'").select("subj").collect())
     want = {page_iri(p["url"]) for p in PAGES}
     assert {r.subj for r in rows} == want
+
+
+def test_canonicalized_triples_match_golden(spark, result):
+    """Duplicate-label entities collapse to the natsort-min IRI with
+    owl:sameAs provenance (synonym/label collapsing semantics)."""
+    from pyontutils_spark.plans.pipeline import canonicalize_triples
+    got = _collect_triples(canonicalize_triples(result.triples))
+    want = golden.canonicalized_corpus_triples(PAGES, LEX)
+    assert got == want, (sorted(got - want)[:4], sorted(want - got)[:4])
+    # the planted duplicate pair ('cortex' on terms 1+2) must collapse
+    # when both are linked somewhere in the corpus
+    t1, t2 = LEX[1]["iri"], LEX[2]["iri"]
+    linked = {s for s, p, o, il in golden.corpus_triples(PAGES, LEX)}
+    if t1 in linked and t2 in linked:
+        from pyontutils_spark.operators import vocab
+        assert (t2, vocab.OWL_SAMEAS, t1, False) in got
+        assert all(s != t2 or p == vocab.OWL_SAMEAS for s, p, o, il in got)
