@@ -1,0 +1,83 @@
+"""GraphML source, uri_switch fragment rewrite, LabelMaker synthesis."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyontutils_spark.operators import vocab
+from pyontutils_spark.operators.labels import synthesize_labels
+from pyontutils_spark.operators.uriswitch import switch_uris
+from pyontutils_spark.sources.graphml import graphml_triples, read_graphml
+
+GRAPHML = """<?xml version="1.0" encoding="UTF-8"?>
+<graphml xmlns="http://graphml.graphdrawing.org/xmlns">
+  <graph id="G" edgedefault="directed">
+    <node id="n0"><data key="d0">Purkinje Cell</data></node>
+    <node id="n1"><data key="d0">Neuron</data></node>
+    <node id="n2"><data key="d0">Cerebellum</data></node>
+    <edge source="n0" target="n1"><data key="d1">is_a</data></edge>
+    <edge source="n0" target="n2"><data key="d1">part_of</data></edge>
+  </graph>
+</graphml>
+"""
+
+
+def test_graphml_triples_pure():
+    got = set(graphml_triples(GRAPHML))
+    pc = "http://uri.interlex.org/temp/uris/graphml/purkinje-cell"
+    neuron = "http://uri.interlex.org/temp/uris/graphml/neuron"
+    cereb = "http://uri.interlex.org/temp/uris/graphml/cerebellum"
+    assert (pc, vocab.RDFS_LABEL, "Purkinje Cell", True) in got
+    assert (pc, vocab.RDFS_SUBCLASSOF, neuron, False) in got
+    assert (pc, "http://purl.obolibrary.org/obo/BFO_0000050", cereb,
+            False) in got
+
+
+def test_read_graphml(spark, tmp_path):
+    p = tmp_path / "g.graphml"
+    p.write_text(GRAPHML)
+    df = read_graphml(spark, str(p))
+    assert df.count() == 5  # 3 labels + 2 edges
+    assert df.filter(F.col("pred") == vocab.RDFS_SUBCLASSOF).count() == 1
+
+
+def test_switch_uris_fragment_rules(spark):
+    t = spark.createDataFrame(
+        [("http://uri.neuinfo.org/nif/nifstd/nlx_sub_090901",
+          vocab.RDFS_LABEL, "old frag", True, None, None),
+         ("http://e/x", vocab.IS_ABOUT,
+          "http://uri.neuinfo.org/nif/nifstd/nif_organ_12", False,
+          None, None)],
+        vocab.TRIPLE_SCHEMA)
+    out = switch_uris(t)
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    new_sub = "http://uri.neuinfo.org/nif/nifstd/nlx_subcell_090901"
+    new_organ = "http://uri.neuinfo.org/nif/nifstd/nlx_organ_12"
+    assert (new_sub, vocab.RDFS_LABEL, "old frag") in got
+    assert ("http://e/x", vocab.IS_ABOUT, new_organ) in got
+    # provenance
+    assert ("http://uri.neuinfo.org/nif/nifstd/nlx_sub_090901",
+            vocab.OWL_SAMEAS, new_sub) in got
+    assert ("http://uri.neuinfo.org/nif/nifstd/nif_organ_12",
+            vocab.OWL_SAMEAS, new_organ) in got
+
+
+def test_label_synthesis_order_insensitive(spark):
+    rows1 = [("http://e/n", "phenotype", "fast spiking", False),
+             ("http://e/n", "location", "cortex", False),
+             ("http://e/n", "role", "interneuron", False),
+             ("http://e/n", "molecular", "PV", True)]
+    rows2 = list(reversed(rows1))
+    schema = "iri string, category string, value string, negative boolean"
+    l1 = synthesize_labels(spark.createDataFrame(rows1, schema)).collect()
+    l2 = synthesize_labels(spark.createDataFrame(rows2, schema)).collect()
+    assert l1 == l2
+    assert l1[0].label == "cortex fast spiking -PV interneuron"
+
+
+def test_label_natsort_within_category(spark):
+    rows = [("http://e/n", "phenotype", "L10", False),
+            ("http://e/n", "phenotype", "L2", False)]
+    out = synthesize_labels(spark.createDataFrame(
+        rows, "iri string, category string, value string, "
+              "negative boolean")).collect()
+    assert out[0].label == "L2 L10"
