@@ -112,6 +112,44 @@ def khop_neighborhood(edges: DataFrame, seeds: DataFrame, depth: int,
     return visited
 
 
+def prune_out_of_tree(nodes: DataFrame, edges: DataFrame,
+                      roots: DataFrame, max_depth: int = 30,
+                      child="child", parent="parent") -> DataFrame:
+    """Keep only nodes that reach a root (pruneOutOfTree fixpoint,
+    hierarchies.py:419-435): one closure pass + semi-joins instead of
+    the reference's iterate-until-stable loop."""
+    tc = transitive_closure(edges, max_depth, child, parent)
+    reaches_root = (tc.join(roots.withColumnRenamed("node", "ancestor"),
+                            "ancestor", "left_semi")
+                    .select("node").distinct()
+                    .unionByName(roots.select("node")).distinct())
+    return nodes.join(reaches_root, "node", "left_semi")
+
+
+def dematerialize(closure: DataFrame) -> DataFrame:
+    """Remove duplicated deeper copies of multi-parent subtrees
+    (dematerialize, hierarchies.py:119-164): keep each (node, ancestor)
+    at its minimal depth only — a window dedup."""
+    return (closure.groupBy("node", "ancestor")
+            .agg(F.min("depth").alias("depth")))
+
+
+def normalize_symmetric(triples: DataFrame,
+                        predicates: tuple[str, ...] = (
+                            "http://www.w3.org/2002/07/owl#disjointWith",)
+                        ) -> DataFrame:
+    """For symmetric predicates keep only the lexically-lesser direction
+    (serializers.py:235-263): swap when subj > obj, then distinct."""
+    sym = F.col("pred").isin(*predicates) & ~F.col("obj_is_literal")
+    swap = sym & (F.col("subj") > F.col("obj"))
+    return (triples.select(
+        F.when(swap, F.col("obj")).otherwise(F.col("subj")).alias("subj"),
+        "pred",
+        F.when(swap, F.col("subj")).otherwise(F.col("obj")).alias("obj"),
+        "obj_is_literal", "obj_datatype", "obj_lang")
+        .distinct())
+
+
 def subtree_sizes(edges: DataFrame, max_depth: int = 30) -> DataFrame:
     """Transitive-closure size per ancestor (tcsort/count semantics,
     hierarchies.py:47-49, :603) — used for subtree ordering."""

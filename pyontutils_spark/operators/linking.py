@@ -66,6 +66,36 @@ def candidates_df(spark: SparkSession, lexicon: list[dict],
                       "iri string, score double, is_synonym boolean"))
 
 
+def label_and_definition_check(probes: DataFrame, lexicon_df: DataFrame
+                               ) -> DataFrame:
+    """combo_exhaustive_label_definition_check
+    (interlex_ingestion.py:441-497): union of a label-probe join and a
+    definition-probe join, deduped by row tuple.
+
+    probes(probe string); lexicon_df(iri, label, definition)."""
+    norm = F.lower(F.trim("probe"))
+    by_label = probes.join(
+        lexicon_df, norm == F.lower(F.trim(lexicon_df.label))) \
+        .select("probe", "iri", F.lit("label").alias("matched_on"))
+    by_def = probes.join(
+        lexicon_df, norm == F.lower(F.trim(lexicon_df.definition))) \
+        .select("probe", "iri", F.lit("definition").alias("matched_on"))
+    return by_label.unionByName(by_def) \
+        .dropDuplicates(["probe", "iri", "matched_on"])
+
+
+def fragment_check(probes: DataFrame, lexicon_df: DataFrame) -> DataFrame:
+    """exhaustive_fragment_check (interlex_ingestion.py:375; int-tail
+    extraction :51-68): join probe IRIs to lexicon IRIs on the trailing
+    integer fragment."""
+    tail = lambda c: F.regexp_extract(c, r"(\d+)$", 1)  # noqa: E731
+    p = probes.select("probe", tail(F.col("probe")).alias("frag")) \
+        .filter(F.col("frag") != "")
+    l = lexicon_df.select("iri", tail(F.col("iri")).alias("frag")) \
+        .filter(F.col("frag") != "")
+    return p.join(l, "frag").select("probe", "iri", "frag")
+
+
 def link_mentions(mentions: DataFrame, cands: DataFrame) -> DataFrame:
     """mentions ⋈ broadcast(best-candidates) on pattern_norm.
 

@@ -154,3 +154,40 @@ def test_drop_nothing(spark):
         [("a", "http://www.w3.org/2002/07/owl#Nothing"), ("a", "b")],
         "child string, parent string")
     assert drop_nothing(df).count() == 1
+
+
+def test_prune_out_of_tree(spark, edges):
+    from pyontutils_spark.operators.hierarchy import prune_out_of_tree
+    nodes = spark.createDataFrame(
+        [("c1",), ("b",), ("a",), ("x1",), ("orphan",)], "node string")
+    roots = spark.createDataFrame([("a",)], "node string")
+    kept = {r.node for r in
+            prune_out_of_tree(nodes, edges, roots, max_depth=10).collect()}
+    assert kept == {"c1", "b", "a"}  # x1 is in a cycle island, orphan alone
+
+
+def test_dematerialize(spark, edges):
+    from pyontutils_spark.operators.hierarchy import (
+        dematerialize, transitive_closure)
+    tc = transitive_closure(edges, max_depth=10)
+    d = dematerialize(tc)
+    assert d.count() == d.select("node", "ancestor").distinct().count()
+    got = {(r.node, r.ancestor): r.depth for r in d.collect()}
+    assert got[("c1", "a")] == 2
+
+
+def test_normalize_symmetric(spark):
+    from pyontutils_spark.operators.hierarchy import normalize_symmetric
+    from pyontutils_spark.operators import vocab
+    dj = "http://www.w3.org/2002/07/owl#disjointWith"
+    t = spark.createDataFrame(
+        [("http://e/b", dj, "http://e/a", False, None, None),
+         ("http://e/a", dj, "http://e/b", False, None, None),
+         ("http://e/a", vocab.RDFS_LABEL, "zzz", True, None, None)],
+        vocab.TRIPLE_SCHEMA)
+    out = normalize_symmetric(t)
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert ("http://e/a", dj, "http://e/b") in got
+    assert ("http://e/b", dj, "http://e/a") not in got
+    assert ("http://e/a", vocab.RDFS_LABEL, "zzz") in got
+    assert out.count() == 2

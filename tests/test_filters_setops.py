@@ -73,3 +73,24 @@ def test_graph_setops(spark, t):
     ov = graph_overlaps(tagged)
     assert ov.count() == 3
     assert all(r.graphs == ["g1", "g2"] for r in ov.collect())
+
+
+def test_label_and_definition_check(spark):
+    from pyontutils_spark.operators.linking import (
+        fragment_check, label_and_definition_check)
+    lex = spark.createDataFrame(
+        [("http://e/ilx_0101431", "Brain", "the encephalon"),
+         ("http://e/ilx_0101432", "Cortex", "outer layer")],
+        "iri string, label string, definition string")
+    probes = spark.createDataFrame(
+        [(" brain ",), ("the encephalon",), ("nothing",)], "probe string")
+    got = {(r.probe, r.iri, r.matched_on) for r in
+           label_and_definition_check(probes, lex).collect()}
+    assert (" brain ", "http://e/ilx_0101431", "label") in got
+    assert ("the encephalon", "http://e/ilx_0101431", "definition") in got
+    assert len(got) == 2
+    # fragment check: int tails join
+    fprobes = spark.createDataFrame(
+        [("http://other.org/thing_0101432",)], "probe string")
+    fr = fragment_check(fprobes, lex).collect()
+    assert len(fr) == 1 and fr[0].iri == "http://e/ilx_0101432"
