@@ -106,6 +106,25 @@ def write_turtle_string(triples: DataFrame, prefix_map=None) -> str:
           r.obj_lang) for r in rows), pm)
 
 
+def write_turtle_html_string(triples: DataFrame, prefix_map=None) -> str:
+    """Hyperlinked-ttl presentation variant (HtmlTurtleSerializer,
+    ttlser/serializers.py:781-824): same canonical order, IRIs wrapped
+    in <a href>."""
+    import html as _h
+    import re as _re
+
+    pm = prefix_map or DEFAULT_PREFIXES
+    ttl = write_turtle_string(triples, pm)
+    esc = _h.escape(ttl)
+
+    def link(m):
+        iri = m.group(1)
+        return f'&lt;<a href="{iri}">{iri}</a>&gt;'
+
+    body = _re.sub(r"&lt;(http[^&]*)&gt;", link, esc)
+    return f"<pre>\n{body}</pre>\n"
+
+
 def read_obo(spark: SparkSession, path: str) -> DataFrame:
     """OBO files -> triple rows (stanza parse per file, flatMap)."""
     files = spark.read.text(path, wholetext=True)

@@ -79,3 +79,10 @@ def test_read_obo(spark, tmp_path):
             vocab.RDFS_SUBCLASSOF,
             "http://purl.obolibrary.org/obo/GO_0048308", False) in got
     assert len({s for s, *_ in got}) == 2
+
+
+def test_turtle_html_variant(spark, tdf):
+    from pyontutils_spark.sources.rdf import write_turtle_html_string
+    html = write_turtle_html_string(tdf)
+    assert html.startswith("<pre>")
+    assert '<a href="http://e/b">http://e/b</a>' in html
