@@ -65,6 +65,14 @@ def heavy_hitters(df: DataFrame, key_cols: list[str],
             .select(*key_cols, (F.col("count") / total).alias("share")))
 
 
+def entity_mention_counts(linked: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Mentions per entity across the corpus — the aggregation the
+    head-entity skew (top entity in ~20% of pages) hits hardest, so it
+    goes through the salted two-level path."""
+    return (salted_count(linked.select("iri"), ["iri"], n_salts)
+            .withColumnRenamed("count", "n_mentions"))
+
+
 def salted_join(big: DataFrame, small: DataFrame, key: str,
                 n_salts: int = 8) -> DataFrame:
     """Equi-join where ``big`` has hot keys and ``small`` is too large

@@ -100,3 +100,38 @@ def test_q1_aggregation_is_partial_final(spark):
     assert "isFinalPlan=true" in plan
     assert "*(1)" in plan  # whole-stage codegen stage markers
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_entity_mention_counts_salted(spark):
+    from pyontutils_spark.operators import linking, mentions as mo
+    from pyontutils_spark.operators.skew import entity_mention_counts
+    pages = pages_df_local(spark, PAGES)
+    bc = mo.broadcast_automaton(spark, LEX)
+    linked = linking.link_mentions(
+        mo.detect_mentions_fused(pages, bc),
+        linking.candidates_df(spark, LEX))
+    got = {r.iri: r.n_mentions for r in
+           entity_mention_counts(linked).collect()}
+    plain = {r.iri: r["count"] for r in
+             linked.groupBy("iri").count().collect()}
+    assert got == plain
+    # the head entity is the most-mentioned (skew planted by the corpus)
+    head_iri = LEX[0]["iri"]
+    assert got[head_iri] == max(got.values())
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """bucketBy co-location: a join between two tables bucketed on the
+    same key plans WITHOUT shuffle exchanges (the 100-TB co-located
+    join strategy)."""
+    import pyspark.sql.functions as SF
+    a = spark.range(0, 10000).withColumn("v", SF.col("id") * 2)
+    b = spark.range(0, 10000).withColumn("w", SF.col("id") * 3)
+    a.write.bucketBy(8, "id").sortBy("id").mode("overwrite") \
+        .saveAsTable("bkt_a")
+    b.write.bucketBy(8, "id").sortBy("id").mode("overwrite") \
+        .saveAsTable("bkt_b")
+    joined = spark.table("bkt_a").join(spark.table("bkt_b"), "id")
+    plan = _plan(joined)
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == 10000
