@@ -246,17 +246,18 @@ def _q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates are exact integers — immune to float summation order
     (Spark sums per-partition, DuckDB sequentially)."""
     li = _lineitem(spark, sf_dir)
+    qty = F.round(F.col("l_quantity")).cast("long")
     base_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_cents = F.round(F.col("l_extendedprice")
                          * (1 - F.col("l_discount")) * 100).cast("long")
     disc_bp = F.round(F.col("l_discount") * 10000).cast("long")
     return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"),
+            .agg(F.sum(qty).alias("sum_qty"),
                  F.sum(base_cents).alias("sum_base_cents"),
                  F.sum(disc_cents).alias("sum_disc_cents"),
                  F.count("*").alias("count_order"),
-                 F.round(F.sum("l_quantity") * 1_000_000 / F.count("*"))
+                 F.round(F.sum(qty) * 1_000_000 / F.count("*"))
                  .cast("long").alias("avg_qty_micro"),
                  F.round(F.sum(disc_bp) * 100.0 / F.count("*"))
                  .cast("long").alias("avg_disc_micro")))
@@ -573,15 +574,19 @@ def oracle_sql() -> dict[str, str]:
         FROM rows GROUP BY 1
         """
 
+    # NB: DuckDB sum(BIGINT) yields HUGEINT (int128); pandas fetches that as
+    # float64 and the driver's value hash then differs from Spark's int64
+    # even when values are equal.  Every sum() is therefore cast ::bigint.
     sqls["q1_pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity))::bigint AS sum_qty,
-               sum(round(l_extendedprice * 100)::bigint) AS sum_base_cents,
-               sum(round(l_extendedprice * (1 - l_discount) * 100)::bigint)
-                 AS sum_disc_cents,
+               (sum(round(l_quantity)::bigint))::bigint AS sum_qty,
+               (sum(round(l_extendedprice * 100)::bigint))::bigint
+                 AS sum_base_cents,
+               (sum(round(l_extendedprice * (1 - l_discount) * 100)::bigint)
+                 )::bigint AS sum_disc_cents,
                count(*) AS count_order,
-               round(sum(l_quantity) * 1000000 / count(*))::bigint
-                 AS avg_qty_micro,
+               round(sum(round(l_quantity)::bigint) * 1000000
+                     / count(*))::bigint AS avg_qty_micro,
                round(sum(round(l_discount * 10000)::bigint) * 100.0
                      / count(*))::bigint AS avg_disc_micro
         FROM lineitem WHERE l_shipdate <= '1998-09-02'
@@ -590,8 +595,8 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["top_orders_by_revenue"] = """
         SELECT l_orderkey, c_mktsegment,
-               sum(round(l_extendedprice * (1 - l_discount) * 100)::bigint)
-                 AS revenue_cents
+               (sum(round(l_extendedprice * (1 - l_discount) * 100)::bigint)
+                 )::bigint AS revenue_cents
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -613,7 +618,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["events_hourly"] = """
         SELECT epoch(date_trunc('hour', ts))::bigint AS hour_ts, event_type,
                count(*) AS n,
-               sum(round(value * 100)::bigint) AS sum_value_cents
+               (sum(round(value * 100)::bigint))::bigint AS sum_value_cents
         FROM events GROUP BY 1, 2
         """
 
@@ -683,7 +688,7 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         )
         SELECT doc_id, concat_ws(',', {", ".join(mh_parts)}) AS signature
-        FROM hashed
+        FROM hashed WHERE len(hs) > 0
         """
 
     bit_parts = []
@@ -699,7 +704,7 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         )
         SELECT doc_id, ({" + ".join(bit_parts)}) AS sig
-        FROM hashed
+        FROM hashed WHERE len(hs) > 0
         """
 
     sqls["jaccard_pairs"] = f"""

@@ -125,7 +125,8 @@ def format_turtle(sorted_triples, prefix_map) -> str:
             pterm = "a" if qn(pred) == "rdf:type" else qn(pred)
             if pterm == pred:
                 pterm = f"<{pred}>"
-            block.append(f"\n    {pterm} {term}")
+            sep = " ;" if cur_pred is not None else ""
+            block.append(f"{sep}\n    {pterm} {term}")
             cur_pred = pred
         else:
             block.append(f",\n        {term}")

@@ -152,6 +152,108 @@ def decode_rdf_list(triples: DataFrame, max_len: int = 64) -> DataFrame:
                 lambda s: s.item).alias("items")))
 
 
+OWL_INTERSECTION_OF = OWL + "intersectionOf"
+OWL_UNION_OF = OWL + "unionOf"
+OWL_ONE_OF = OWL + "oneOf"
+OWL_DISJOINT_UNION_OF = OWL + "disjointUnionOf"
+OWL_PROPERTY_CHAIN = OWL + "propertyChainAxiom"
+OWL_MEMBERS = OWL + "members"
+OWL_EQUIVALENT_CLASS = OWL + "equivalentClass"
+OWL_CLASS = OWL + "Class"
+
+#: the reference's PredicateList subclasses (combinators.py:582-753):
+#: intersectionOf, unionOf, oneOf, disjointUnionOf, propertyChainAxiom,
+#: members.  propertyChainAxiom is ORDER-SIGNIFICANT (ttlser's
+#: no-reorder list exception, serializers.py:660-673) — emit/parse here
+#: always preserve item order, so every member predicate satisfies it.
+PREDICATE_LIST_PREDICATES = (
+    OWL_INTERSECTION_OF, OWL_UNION_OF, OWL_ONE_OF, OWL_DISJOINT_UNION_OF,
+    OWL_PROPERTY_CHAIN, OWL_MEMBERS)
+
+
+def _pl_list_id(list_pred: str):
+    return F.concat_ws("\x1f", F.lit("pl"), F.col("subj"),
+                       F.lit(list_pred), F.concat_ws("\x1e", "items"))
+
+
+def emit_predicate_list(specs: DataFrame, list_pred: str,
+                        linking_pred: str | None = None) -> DataFrame:
+    """specs(subj, items array<string>) -> the PredicateList subgraph
+    (reference ``PredicateList.serialize``, combinators.py:580-615,
+    via ``List.serialize`` :419-443):
+
+    - direct mode (``linking_pred=None``): ``subj list_pred <head>``
+      plus the rdf:first/rest chain — PredicateList attached to a named
+      subject.
+    - blank mode: ``subj linking_pred <node>``, ``<node> a owl:Class``,
+      ``<node> list_pred <head>`` — the IntersectionOfCombinator path
+      where the class expression rides on a fresh (here: skolemized)
+      node typed ``typeWhenSubjectIsBlank`` (combinators.py:598-603).
+
+    Item order is preserved exactly (cons cells are position-keyed
+    skolems); parse_predicate_list is the exact inverse."""
+    list_id = _pl_list_id(list_pred)
+    s = specs.withColumn("_lid", list_id)
+    chain = emit_rdf_list(s.select(F.col("_lid").alias("list_id"), "items"))
+    # empty member list -> rdf:nil head (no dangling skolem cell)
+    head = F.when(F.size("items") == 0, F.lit(RDF_NIL)) \
+        .otherwise(list_head(F.col("_lid")))
+    if linking_pred is None:
+        link = s.select(*_t(F.col("subj"), list_pred, head))
+        return link.unionByName(chain)
+    node = _skolem(F.lit("plnode"), F.col("subj"), F.lit(linking_pred),
+                   F.lit(list_pred), F.col("_lid"))
+    s = s.withColumn("_node", node)
+    return (s.select(*_t(F.col("subj"), linking_pred, F.col("_node")))
+            .unionByName(s.select(*_t(F.col("_node"), vocab.RDF_TYPE,
+                                      F.lit(OWL_CLASS))))
+            .unionByName(s.select(*_t(F.col("_node"), list_pred, head)))
+            .unionByName(chain))
+
+
+def parse_predicate_list(triples: DataFrame, list_pred: str,
+                         linking_pred: str | None = None,
+                         max_len: int = 64) -> DataFrame:
+    """Inverse of emit_predicate_list: recover (subj, items array in
+    emission order) for one list predicate.  In blank mode the class
+    node is traversed back to the linking subject."""
+    owners = (triples.filter(F.col("pred") == list_pred)
+              .select(F.col("subj").alias("_o"),
+                      F.col("obj").alias("head")))
+    lists = decode_rdf_list(triples, max_len=max_len)
+    got = (owners.filter(F.col("head") != RDF_NIL)
+           .join(lists, "head")
+           .select(F.col("_o").alias("subj"), "items")
+           .unionByName(
+               owners.filter(F.col("head") == RDF_NIL)
+               .select(F.col("_o").alias("subj"),
+                       F.array().cast("array<string>").alias("items"))))
+    if linking_pred is None:
+        return got
+    links = (triples.filter(F.col("pred") == linking_pred)
+             .select(F.col("subj").alias("owner"),
+                     F.col("obj").alias("subj")))
+    return (got.join(links, "subj")
+            .select(F.col("owner").alias("subj"), "items"))
+
+
+def emit_equivalent_class(specs: DataFrame,
+                          operator: str = OWL_INTERSECTION_OF) -> DataFrame:
+    """specs(subj, items) -> owl:equivalentClass to a skolemized class
+    expression node carrying ``operator``'s member list (reference
+    ``EquivalentClass.serialize``, combinators.py:655-684: subject
+    equivalentClass ec_node; ec_node a owl:Class; ec_node operator
+    list)."""
+    return emit_predicate_list(specs, operator,
+                               linking_pred=OWL_EQUIVALENT_CLASS)
+
+
+def parse_equivalent_class(triples: DataFrame,
+                           operator: str = OWL_INTERSECTION_OF) -> DataFrame:
+    return parse_predicate_list(triples, operator,
+                                linking_pred=OWL_EQUIVALENT_CLASS)
+
+
 def annotate_axioms(axioms: DataFrame) -> DataFrame:
     """axioms(subj, pred, obj, ann_pred, ann_value) -> the 6-triple
     owl:Axiom reification of each annotated triple (Annotation

@@ -11,10 +11,11 @@ triple emitted per replacement (``swapUriSwitch``/``switchURIs``,
 The component computation is the alternating large-star/small-star
 iteration (hash-partitioned equi-joins; converges in O(log n) rounds on
 path graphs — the public MapReduce CC algorithm of Kiveris et al.,
-re-expressed as DataFrame groupBys).  Node ids are dense integer ranks
-in *natsort order* of the IRI, so the numeric min of a component IS the
-natsort-min member — the deterministic canonical-pick rule
-(FIXTURES.md §7; natsort per ``ttlser/ttlser/serializers.py:25-26``).
+re-expressed as DataFrame groupBys).  Node ids are composite
+``natsort_key(iri) + "\\x00" + iri`` strings, so the *string* min of a
+component IS the natsort-min member — the deterministic canonical-pick
+rule (FIXTURES.md §7; natsort per ``ttlser/ttlser/serializers.py:25-26``)
+— with no integer-id stage and no Python row serialization.
 """
 
 from __future__ import annotations
@@ -64,11 +65,13 @@ def _min_neighbor_star(edges: DataFrame, large: bool) -> DataFrame:
 
 
 def connected_components_ids(edges: DataFrame, max_iter: int = 25) -> DataFrame:
-    """edges(u long, v long) undirected pairs -> (node, component) where
-    component = min node id reachable.  Alternates large-star/small-star
-    until the edge multiset is stable.  ``localCheckpoint`` truncates
-    lineage each round — without it the iterated plan grows without
-    bound and re-executes from the source every round."""
+    """edges(u, v) undirected pairs over any orderable id type (long or
+    string) -> (node, component) where component = min id reachable.
+    Alternates large-star/small-star until the edge multiset is stable.
+    ``localCheckpoint`` truncates lineage each round — without it the
+    iterated plan grows without bound and re-executes from the source
+    every round.  The convergence probe is an aggregate-only signature
+    (count + xxhash64 sum in decimal — ANSI-safe, type-agnostic)."""
     e = (edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
          .localCheckpoint(eager=True))
     prev_sig = None
@@ -77,7 +80,8 @@ def connected_components_ids(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         e = _min_neighbor_star(_symmetric(e), large=False) \
             .localCheckpoint(eager=True)
         sig = (e.agg(F.count("*").alias("n"),
-                     F.sum(F.col("u") + F.col("v")).alias("s"))
+                     F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
+                     .alias("s"))
                .collect()[0])
         sig = (sig["n"], sig["s"])
         if sig == prev_sig:
@@ -94,43 +98,34 @@ def connected_components_ids(edges: DataFrame, max_iter: int = 25) -> DataFrame:
 # IRI-level canonicalization
 # ---------------------------------------------------------------------------
 
-def _natsort_ids(nodes: DataFrame) -> DataFrame:
-    """(iri) -> (iri, nid) with nid increasing in natsort order of iri.
+# Separator between the natsort key and the raw IRI inside a composite
+# node id.  natsort_key never emits "\x00" (it strips it) and every key
+# char is >= "\x01", so lexicographic order of ``nk + SEP + iri`` equals
+# tuple order (nk, iri): the string min of a component IS its
+# natsort-min member.  No integer id stage, no Python serialization.
+_NK_SEP = "\x00"
 
-    Scale path: a global ``row_number()`` window would funnel every node
-    through one partition; instead range-partition on the natsort key,
-    sort within partitions, and ``zipWithIndex`` — indices follow
-    partition order, which range partitioning makes globally sorted."""
-    spark = nodes.sparkSession
-    parts = max(spark.sparkContext.defaultParallelism, 2)
-    sn = (nodes.withColumn("nk", natsort_key_udf("iri"))
-          .repartitionByRange(parts, "nk", "iri")
-          .sortWithinPartitions("nk", "iri"))
-    rdd = sn.select("iri").rdd.zipWithIndex()
-    return spark.createDataFrame(rdd.map(lambda t: (t[0][0], t[1])),
-                                 "iri string, nid long")
+
+def _natsort_id(col: str):
+    return F.concat(natsort_key_udf(col), F.lit(_NK_SEP), F.col(col))
 
 
 def canonical_mapping(sameas_edges: DataFrame,
                       a_col: str = "a", b_col: str = "b") -> DataFrame:
     """sameas_edges(a iri, b iri) -> (iri, canonical_iri) covering every
-    node that appears in an edge; canonical = natsort-min member."""
-    nodes = (sameas_edges.select(F.col(a_col).alias("iri"))
-             .unionByName(sameas_edges.select(F.col(b_col).alias("iri")))
-             .distinct())
-    ids = _natsort_ids(nodes)
-    e = (sameas_edges
-         .join(ids.withColumnRenamed("iri", a_col)
-               .withColumnRenamed("nid", "u"), a_col)
-         .join(ids.withColumnRenamed("iri", b_col)
-               .withColumnRenamed("nid", "v"), b_col)
-         .select("u", "v"))
+    node that appears in an edge; canonical = natsort-min member.
+
+    Node ids are ``natsort_key(iri) + "\\x00" + iri`` composite strings
+    computed per row (one Arrow pass over the edge table), so ``min``
+    inside the star rounds picks the natsort-min member directly and the
+    IRI is recovered by splitting — a pure-DataFrame plan with no
+    driver-side indexing and no JVM->Python row serialization."""
+    e = sameas_edges.select(_natsort_id(a_col).alias("u"),
+                            _natsort_id(b_col).alias("v"))
     comp = connected_components_ids(e)
-    back = ids.select(F.col("nid").alias("component"),
-                      F.col("iri").alias("canonical_iri"))
-    return (comp.join(ids, comp.node == ids.nid)
-            .join(back, "component")
-            .select("iri", "canonical_iri"))
+    return comp.select(
+        F.substring_index("node", _NK_SEP, -1).alias("iri"),
+        F.substring_index("component", _NK_SEP, -1).alias("canonical_iri"))
 
 
 def sameas_candidates_from_lexicon(entity_labels: DataFrame) -> DataFrame:

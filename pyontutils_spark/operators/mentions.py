@@ -63,7 +63,7 @@ def detect_mentions(pages: DataFrame, automaton_bc,
     def find_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ac = automaton_bc.value
         for pdf in batches:
-            yield _match_batch(ac, pdf["url"], pdf[text_col])
+            yield _match_batch(ac, pdf, pdf[text_col])
 
     return src.mapInPandas(find_batches, schema=MENTION_SCHEMA)
 

@@ -38,18 +38,20 @@ from ..kernel.ids import graph_checksum, triple_bytes
 from ..kernel.norm import natsort_key, object_sort_key
 from . import vocab
 
-# Priority predicates in emission order (predicateOrder semantics,
-# restricted to our closed vocabulary).
+# Priority predicates in emission order — the reference's
+# ``predicateOrder`` (ttlser/serializers.py:187-233) restricted to our
+# closed vocabulary, *preserving its relative ranking*: type <
+# deprecated < replacedBy < label < synonym < definition < subClassOf.
+# Predicates outside the list (owl:sameAs, isAbout, ...) fall into the
+# natsorted remainder, exactly like the reference's _PredRank.
 PREDICATE_PRIORITY = [
     vocab.RDF_TYPE,
+    vocab.OWL_DEPRECATED,
+    vocab.REPLACED_BY,
     vocab.RDFS_LABEL,
     vocab.NIFRID_SYNONYM,
     vocab.DEFINITION,
     vocab.RDFS_SUBCLASSOF,
-    vocab.OWL_SAMEAS,
-    vocab.OWL_DEPRECATED,
-    vocab.REPLACED_BY,
-    vocab.IS_ABOUT,
 ]
 _PRIORITY_RANK = {p: i for i, p in enumerate(PREDICATE_PRIORITY)}
 

@@ -77,8 +77,9 @@ def write_ntriples(triples: DataFrame, path: str) -> None:
     lit = F.concat(
         F.lit('"'),
         F.regexp_replace(F.regexp_replace(F.regexp_replace(
-            F.regexp_replace("obj", r"\\", r"\\\\"),
-            '"', r'\\"'), "\n", r"\\n"), "\t", r"\\t"),
+            F.regexp_replace(F.regexp_replace("obj", r"\\", r"\\\\"),
+                             '"', r'\\"'), "\n", r"\\n"),
+            "\r", r"\\r"), "\t", r"\\t"),
         F.lit('"'),
         F.when(F.col("obj_lang").isNotNull(),
                F.concat(F.lit("@"), F.col("obj_lang")))
@@ -123,6 +124,72 @@ def write_turtle_html_string(triples: DataFrame, prefix_map=None) -> str:
 
     body = _re.sub(r"&lt;(http[^&]*)&gt;", link, esc)
     return f"<pre>\n{body}</pre>\n"
+
+
+def read_turtle(spark: SparkSession, path: str) -> DataFrame:
+    """Turtle files -> triple rows (kernel/ttl.py parser per file).
+
+    The file is the parse unit (Turtle has document-level prefix state,
+    so it cannot be line-split like NT): ``wholetext`` scan, one Arrow
+    batch per file, parse inside ``mapInPandas``.  At scale a corpus is
+    many .ttl files -> many tasks; a single giant Turtle file should be
+    converted to NT/parquet first (same constraint the reference has —
+    rdflib parses one document in one process).  BNodes are skolemized
+    per file path, so output is deterministic and join-safe."""
+    from ..kernel.ttl import parse_turtle
+
+    files = spark.read.text(path, wholetext=True) \
+        .withColumn("_src", F.input_file_name())
+
+    def per_file(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype",
+                "obj_lang"]
+        for pdf in batches:
+            rows = []
+            for text, src in zip(pdf["value"], pdf["_src"]):
+                for s, p, o, il, dt, lg in parse_turtle(text, src):
+                    rows.append((s, p, o, il, dt, lg))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(per_file, schema=vocab.TRIPLE_SCHEMA)
+
+
+def read_rdf(spark: SparkSession, path: str,
+             rdf_format: str | None = None) -> DataFrame:
+    """Format-dispatched RDF read with fallback — the engine analog of
+    ``ttlfmt``'s parse-with-format-fallback loop
+    (``ttlser/ttlser/ttlfmt.py:78-100``): explicit format wins, then
+    extension, then try turtle before nt (ttlfmt's format order also
+    starts at turtle)."""
+    readers = {"turtle": read_turtle, "ttl": read_turtle,
+               "nt": read_ntriples, "ntriples": read_ntriples,
+               "obo": read_obo}
+    if rdf_format:
+        return readers[rdf_format](spark, path)
+    low = path.lower()
+    for ext, fn in ((".ttl", read_turtle), (".nt", read_ntriples),
+                    (".obo", read_obo)):
+        if low.endswith(ext) or low.endswith(ext + "*") \
+                or (ext + "/") in low:
+            return fn(spark, path)
+    last_err = None
+    for fn in (read_turtle, read_ntriples):
+        try:
+            df = fn(spark, path)
+            if not df.limit(1).collect():
+                # 0 triples is valid only for an empty/comment-only
+                # source; the NT regex silently drops unparseable lines,
+                # so a non-empty 0-triple result means "wrong format".
+                content = (spark.read.text(path)
+                           .filter(F.trim("value") != "")
+                           .filter(~F.trim("value").startswith("#")))
+                if content.limit(1).collect():
+                    raise ValueError("parsed 0 triples from non-empty "
+                                     "content")
+            return df
+        except Exception as e:  # noqa: BLE001 — fallback chain
+            last_err = e
+    raise ValueError(f"read_rdf: no format parsed {path}: {last_err}")
 
 
 def read_obo(spark: SparkSession, path: str) -> DataFrame:

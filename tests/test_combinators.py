@@ -74,3 +74,75 @@ def test_axiom_annotation_six_triples_and_roundtrip(spark):
     assert (r.subj, r.pred, r.obj, r.ann_pred, r.ann_value) == \
         ("http://e/s", "http://p/p", "http://e/o",
          "http://p/evidence", "strong")
+
+
+PL_SPECS = [("http://e/A", ["http://e/x", "http://e/y", "http://e/z"]),
+            ("http://e/B", ["http://e/q"])]
+
+
+def _pl_df(spark):
+    return spark.createDataFrame(PL_SPECS,
+                                 "subj string, items array<string>")
+
+
+def test_predicate_list_direct_roundtrip(spark):
+    from pyontutils_spark.operators.combinators import (
+        OWL_INTERSECTION_OF, emit_predicate_list, parse_predicate_list)
+    specs = _pl_df(spark)
+    tri = emit_predicate_list(specs, OWL_INTERSECTION_OF)
+    # 1 link + (n firsts + n rests) per list
+    assert tri.count() == (1 + 2 * 3) + (1 + 2 * 1)
+    got = {r.subj: r.items
+           for r in parse_predicate_list(tri, OWL_INTERSECTION_OF).collect()}
+    assert got == dict(PL_SPECS)
+    # partitioning-invariant emission (deterministic skolems)
+    t2 = {tuple(r) for r in
+          emit_predicate_list(specs.repartition(5),
+                              OWL_INTERSECTION_OF).collect()}
+    assert t2 == {tuple(r) for r in tri.collect()}
+
+
+def test_property_chain_preserves_order(spark):
+    """propertyChainAxiom is the no-reorder list (ttlser
+    serializers.py:660-673) — items must come back in emission order."""
+    from pyontutils_spark.operators.combinators import (
+        OWL_PROPERTY_CHAIN, emit_predicate_list, parse_predicate_list)
+    chain = [("http://e/P", ["http://p/c", "http://p/a", "http://p/b"])]
+    specs = spark.createDataFrame(chain, "subj string, items array<string>")
+    tri = emit_predicate_list(specs, OWL_PROPERTY_CHAIN)
+    got = parse_predicate_list(tri, OWL_PROPERTY_CHAIN).collect()
+    assert got[0].items == ["http://p/c", "http://p/a", "http://p/b"]
+
+
+def test_equivalent_class_expression_roundtrip(spark):
+    from pyontutils_spark.operators.combinators import (
+        OWL_CLASS, OWL_EQUIVALENT_CLASS, emit_equivalent_class,
+        parse_equivalent_class)
+    from pyontutils_spark.operators import vocab
+    specs = _pl_df(spark)
+    tri = emit_equivalent_class(specs)
+    rows = {(r.subj, r.pred, r.obj) for r in tri.collect()}
+    # subj equivalentClass node; node a owl:Class (typeWhenSubjectIsBlank)
+    ec_nodes = {o for s, p, o in rows if p == OWL_EQUIVALENT_CLASS}
+    assert len(ec_nodes) == 2
+    for n in ec_nodes:
+        assert (n, vocab.RDF_TYPE, OWL_CLASS) in rows
+    got = {r.subj: r.items for r in parse_equivalent_class(tri).collect()}
+    assert got == dict(PL_SPECS)
+
+
+def test_predicate_lists_coexist_and_filter_by_predicate(spark):
+    """Two different list predicates in one graph parse independently."""
+    from pyontutils_spark.operators.combinators import (
+        OWL_ONE_OF, OWL_UNION_OF, emit_predicate_list,
+        parse_predicate_list)
+    u = emit_predicate_list(_pl_df(spark), OWL_UNION_OF)
+    o = emit_predicate_list(
+        spark.createDataFrame([("http://e/C", ["http://e/m"])],
+                              "subj string, items array<string>"),
+        OWL_ONE_OF)
+    both = u.unionByName(o)
+    assert {r.subj for r in parse_predicate_list(both, OWL_UNION_OF)
+            .collect()} == {"http://e/A", "http://e/B"}
+    assert {r.subj for r in parse_predicate_list(both, OWL_ONE_OF)
+            .collect()} == {"http://e/C"}

@@ -120,11 +120,61 @@ def test_entity_mention_counts_salted(spark):
     assert got[head_iri] == max(got.values())
 
 
+def test_canonical_mapping_plan_is_pure_dataframe(spark):
+    """The CC id stage must not round-trip rows through Python RDDs
+    (the round-1 zipWithIndex path pickled every node JVM->Python->JVM).
+    The composite-id construction must plan as Arrow-batched pandas UDF
+    only (ArrowEvalPython), with no row-at-a-time BatchEvalPython and no
+    ExistingRDD scan before the (legitimate) localCheckpoint barrier."""
+    import inspect
+
+    from pyontutils_spark.operators import components as C
+    src = inspect.getsource(C)
+    assert ".rdd" not in src and "zipWithIndex" not in src
+    edges = spark.createDataFrame(
+        [("http://e/x2", "http://e/x10"), ("http://e/x10", "http://e/x9")],
+        "a string, b string")
+    ids = edges.select(C._natsort_id("a").alias("u"),
+                       C._natsort_id("b").alias("v"))
+    plan = _plan(ids)
+    # ArrowEvalPython = vectorized pandas UDF; BatchEvalPython would be
+    # row-at-a-time pickling.  (The createDataFrame test input itself
+    # scans as ExistingRDD — that's scaffolding, not the operator.)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    got = {r.iri: r.canonical_iri
+           for r in C.canonical_mapping(edges).collect()}
+    assert set(got.values()) == {"http://e/x2"}
+
+
+def test_detect_mentions_fused_equals_nonfused(spark):
+    from pyontutils_spark.operators import mentions as mo
+    from pyontutils_spark.operators.extract import with_extracted_text
+    pages = pages_df_local(spark, PAGES)
+    bc = mo.broadcast_automaton(spark, LEX)
+    fused = mo.detect_mentions_fused(pages, bc)
+    plain = mo.detect_mentions(with_extracted_text(pages), bc)
+    key = ("url", "start", "end", "surface", "pattern_norm")
+    a = {tuple(r[k] for k in key) for r in fused.collect()}
+    b = {tuple(r[k] for k in key) for r in plain.collect()}
+    assert a == b and len(a) > 0
+
+
 def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     """bucketBy co-location: a join between two tables bucketed on the
     same key plans WITHOUT shuffle exchanges (the 100-TB co-located
     join strategy)."""
+    import shutil
+    from pathlib import Path
     import pyspark.sql.functions as SF
+    # spark.sql.warehouse.dir is static; a leftover ./spark-warehouse/bkt_*
+    # location from a prior run makes saveAsTable raise
+    # LOCATION_ALREADY_EXISTS because the fresh catalog has no such table.
+    warehouse = Path(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"))
+    for name in ("bkt_a", "bkt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(warehouse / name, ignore_errors=True)
     a = spark.range(0, 10000).withColumn("v", SF.col("id") * 2)
     b = spark.range(0, 10000).withColumn("w", SF.col("id") * 3)
     a.write.bucketBy(8, "id").sortBy("id").mode("overwrite") \

@@ -1,0 +1,137 @@
+"""Turtle parser: grammar coverage on a nasty.ttl-style fixture
+(ttlser/test/nasty.ttl shapes), writer->parser round-trip, Spark source
+read, and ttlfmt-style format fallback dispatch."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyontutils_spark.kernel.curies import PrefixMap
+from pyontutils_spark.kernel.ttl import TurtleError, parse_turtle
+from pyontutils_spark.operators import vocab
+from pyontutils_spark.operators.combinators import (
+    RDF_FIRST, RDF_NIL)
+from pyontutils_spark.sources.rdf import (
+    read_rdf, read_turtle, write_ntriples, write_turtle_string)
+
+NASTY_TTL = """
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix ex: <http://ex.org/> .
+@base <http://base.org/dir/> .
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+
+# comment line
+ex:a10 a owl:Class ;
+    rdfs:label "thing one", "chose une"@fr ;
+    ex:count 42 ;
+    ex:score 2.5 ;
+    ex:big 1.5e10 ;
+    ex:flag true ;
+    ex:typed "2020-01-01"^^xsd:date ;
+    ex:rel <relative/path> ;
+    ex:esc "has \\"quotes\\" and \\\\slash\\n" .
+
+ex:b ex:list ( ex:x 1 "two" ) ;
+    ex:empty () ;
+    ex:anon [ a owl:Restriction ; owl:onProperty ex:p ] .
+
+_:lbl ex:p ex:a10 .
+[] ex:standalone "v" .
+ex:weird.name ex:p ex:other .
+ex:c rdfs:comment \"\"\"multi
+line "q" string\"\"\" .
+"""
+
+
+def test_parse_nasty_fixture_shapes():
+    ts = parse_turtle(NASTY_TTL, "doc1")
+    by = {}
+    for s, p, o, il, dt, lg in ts:
+        by.setdefault((s, p), []).append((o, il, dt, lg))
+    a10 = "http://ex.org/a10"
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    assert (vocab.OWL_CLASS, False, None, None) in by[(a10, vocab.RDF_TYPE)]
+    labels = by[(a10, "http://www.w3.org/2000/01/rdf-schema#label")]
+    assert ("thing one", True, None, None) in labels
+    assert ("chose une", True, None, "fr") in labels
+    assert by[(a10, "http://ex.org/count")] == \
+        [("42", True, xsd + "integer", None)]
+    assert by[(a10, "http://ex.org/score")] == \
+        [("2.5", True, xsd + "decimal", None)]
+    assert by[(a10, "http://ex.org/big")] == \
+        [("1.5e10", True, xsd + "double", None)]
+    assert by[(a10, "http://ex.org/flag")] == \
+        [("true", True, xsd + "boolean", None)]
+    # @base resolution of a relative IRI
+    assert by[(a10, "http://ex.org/rel")] == \
+        [("http://base.org/dir/relative/path", False, None, None)]
+    # escape handling
+    assert by[(a10, "http://ex.org/esc")] == \
+        [('has "quotes" and \\slash\n', True, None, None)]
+    # collection decodes to first/rest cells ending in nil; empty -> nil
+    firsts = [o for (s, p), objs in by.items() if p == RDF_FIRST
+              for o, *_ in objs]
+    assert "http://ex.org/x" in firsts and "1" in firsts and "two" in firsts
+    assert by[("http://ex.org/b", "http://ex.org/empty")] == \
+        [(RDF_NIL, False, None, None)]
+    # bnodes are skolemized deterministically per document
+    lbl_subjs = [s for s, p, *_ in ts if p == "http://ex.org/p"
+                 and "skolem/ttl/" in s]
+    assert lbl_subjs and parse_turtle(NASTY_TTL, "doc1") == ts
+    # dot inside a pname local survives; trailing dot terminates
+    assert ("http://ex.org/weird.name", "http://ex.org/p",
+            "http://ex.org/other", False, None, None) in ts
+    # multiline literal
+    assert ("http://ex.org/c", "http://www.w3.org/2000/01/rdf-schema#comment",
+            'multi\nline "q" string', True, None, None) in ts
+
+
+def test_parse_errors_raise():
+    with pytest.raises(TurtleError):
+        parse_turtle("ex:a ex:b ex:c .", "d")  # undefined prefix
+    with pytest.raises(TurtleError):
+        parse_turtle("@prefix ex: <http://e/> .\nex:a ex:b", "d")  # no dot
+
+
+TRIPLES = [
+    ("http://e/b", vocab.RDF_TYPE, vocab.OWL_CLASS, False, None, None),
+    ("http://e/b", vocab.RDFS_LABEL, "thing b", True, None, None),
+    ("http://e/a10", vocab.RDFS_LABEL, 'has "quotes" and \\slash', True,
+     None, None),
+    ("http://e/a9", vocab.RDFS_LABEL, "tagged", True, None, "en"),
+    ("http://e/a9", vocab.RDFS_SUBCLASSOF, "http://e/b", False, None, None),
+]
+
+
+def test_writer_parser_roundtrip(spark):
+    """write_turtle_string -> parse_turtle recovers the exact triple set
+    (the ttlfmt round-trip property, ttlser/ttlfmt.py:78-100)."""
+    tdf = spark.createDataFrame(TRIPLES, vocab.TRIPLE_SCHEMA)
+    ttl = write_turtle_string(tdf, PrefixMap())
+    back = set(parse_turtle(ttl, "rt"))
+    assert back == set(TRIPLES)
+
+
+def test_read_turtle_spark_source(spark, tmp_path):
+    tdf = spark.createDataFrame(TRIPLES, vocab.TRIPLE_SCHEMA)
+    p = tmp_path / "g.ttl"
+    p.write_text(write_turtle_string(tdf, PrefixMap()))
+    got = {tuple(r) for r in read_turtle(spark, str(p)).collect()}
+    assert got == set(TRIPLES)
+
+
+def test_read_rdf_dispatch_and_fallback(spark, tmp_path):
+    tdf = spark.createDataFrame(TRIPLES, vocab.TRIPLE_SCHEMA)
+    ttl_p = tmp_path / "g.ttl"
+    ttl_p.write_text(write_turtle_string(tdf, PrefixMap()))
+    nt_dir = str(tmp_path / "g.nt")
+    write_ntriples(tdf, nt_dir)
+    by_ext = {tuple(r) for r in read_rdf(spark, str(ttl_p)).collect()}
+    assert by_ext == set(TRIPLES)
+    nt = {tuple(r) for r in read_rdf(spark, nt_dir).collect()}
+    assert nt == set(TRIPLES)
+    # extensionless turtle file -> fallback chain must still parse it
+    noext = tmp_path / "mystery"
+    noext.write_text(ttl_p.read_text())
+    assert {tuple(r) for r in read_rdf(spark, str(noext)).collect()} \
+        == set(TRIPLES)
