@@ -82,6 +82,11 @@ SAMEAS_ROWS = [("e01", "e02"), ("e02", "e03"), ("e03", "e04"),
 _SAMEAS_VALUES = ", ".join(f"('{a}', '{b}')" for a, b in SAMEAS_ROWS)
 _SAMEAS_SQL = f"(VALUES {_SAMEAS_VALUES}) AS sa(a, b)"
 
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_RDF_FIRST = _RDF_NS + "first"
+_RDF_REST = _RDF_NS + "rest"
+_RDF_NIL = _RDF_NS + "nil"
+
 _MINHASH_K = 8
 _TOKEN_CLEAN_SQL = (
     "string_split(trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g')), ' ')")
@@ -415,6 +420,73 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("cosine_e4"))
 
 
+# predicate-list fixture (class-expression member lists)
+PL_SPECS = [("http://e/A", ["http://e/x", "http://e/y", "http://e/z"]),
+            ("http://e/B", ["http://e/q"]),
+            ("http://e/E", [])]
+_PL_PRED = "http://www.w3.org/2002/07/owl#intersectionOf"
+_PL_VALUES = ", ".join(
+    "('{}', [{}])".format(s, ", ".join(f"'{i}'" for i in items))
+    for s, items in PL_SPECS)
+
+# inverse-pairing fixture
+_HAS_PART = "http://purl.obolibrary.org/obo/BFO_0000051"
+_PART_OF = "http://purl.obolibrary.org/obo/BFO_0000050"
+_INV_TRIPLES = [
+    ("http://e/whole", _HAS_PART, "http://e/piece", False),
+    ("http://e/piece2", _PART_OF, "http://e/whole", False),
+    ("http://e/x", "http://p/other", "http://e/y", False),
+    ("http://e/w", _HAS_PART, "a literal", True),
+]
+_INV_VALUES = ", ".join(f"('{s}', '{p}', '{o}', {str(il).lower()})"
+                        for s, p, o, il in _INV_TRIPLES)
+
+
+def _q_topo_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SubClassOf topo layering (scottl _TCRank, serializers.py:900-985):
+    layer = longest chain above the node; supers before subs."""
+    from pyontutils_spark.operators.hierarchy import topo_layers
+    edges = spark.createDataFrame(EDGE_ROWS, "child string, parent string")
+    return topo_layers(edges).select("node", "layer")
+
+
+def _q_predicate_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PredicateList emission (intersectionOf member lists with
+    deterministic skolem cons cells) — the oracle recomputes the exact
+    skolem IRIs with DuckDB's sha256, cross-checking determinism."""
+    from pyontutils_spark.operators.combinators import emit_predicate_list
+    specs = spark.createDataFrame(PL_SPECS,
+                                  "subj string, items array<string>")
+    return (emit_predicate_list(specs, _PL_PRED)
+            .select("subj", "pred", "obj"))
+
+
+def _q_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emitted triples -> canonical Turtle text -> Turtle parser ->
+    triples: the ttlfmt round-trip property as an oracle query (the
+    oracle computes the same triples directly)."""
+    from pyontutils_spark.kernel.ttl import parse_turtle
+    from pyontutils_spark.sources.rdf import write_turtle_string
+    t = _q_triples_emit(spark, sf_dir).withColumn(
+        "obj_is_literal", F.col("pred") == vocab.RDFS_LABEL) \
+        .withColumn("obj_datatype", F.lit(None).cast("string")) \
+        .withColumn("obj_lang", F.lit(None).cast("string"))
+    ttl = write_turtle_string(t)
+    rows = [(s, p, o) for s, p, o, il, dt, lg in parse_turtle(ttl, "rt")]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def _q_inverse_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Known-inverse pairing (core.py:991-992): hasPart/partOf edges
+    materialized in both directions; literals and unknown predicates
+    pass through."""
+    from pyontutils_spark.operators.hierarchy import materialize_inverses
+    t = spark.createDataFrame(
+        [(s, p, o, il, None, None) for s, p, o, il in _INV_TRIPLES],
+        vocab.TRIPLE_SCHEMA)
+    return materialize_inverses(t).select("subj", "pred", "obj")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "curie_expand": _q_curie_expand,
@@ -441,6 +513,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_projection": _q_url_projection,
         "graph_overlaps": _q_graph_overlaps,
         "graph_difference": _q_graph_difference,
+        "topo_layers": _q_topo_layers,
+        "predicate_list": _q_predicate_list,
+        "turtle_roundtrip": _q_turtle_roundtrip,
+        "inverse_pairing": _q_inverse_pairing,
     }
 
 
@@ -746,6 +822,73 @@ def oracle_sql() -> dict[str, str]:
         (VALUES {_GRAPH_VALUES}) AS t2(graph, subj, pred, obj,
                                        obj_is_literal)
         WHERE graph = 'g2'
+        """
+
+    sqls["topo_layers"] = f"""
+        WITH RECURSIVE tc(node, anc, d) AS (
+          SELECT child, parent, 1 FROM {_EDGE_SQL}
+          UNION
+          SELECT tc.node, e.parent, tc.d + 1
+          FROM tc JOIN {_EDGE_SQL.replace("AS edges", "AS e")}
+            ON tc.anc = e.child
+        ),
+        alln(node) AS (
+          SELECT child FROM {_EDGE_SQL}
+          UNION SELECT parent FROM {_EDGE_SQL.replace("AS edges", "AS e2")}
+        )
+        SELECT n.node, coalesce(max(tc.d), 0) AS layer
+        FROM alln n LEFT JOIN tc ON n.node = tc.node
+        GROUP BY n.node
+        """
+
+    _sk = ("'http://uri.interlex.org/temp/uris/skolem/'"
+           " || substr(sha256({x}), 1, 32)")
+    _cell = _sk.format(
+        x="concat_ws(chr(31), 'list', lid, ({p})::varchar)")
+    sqls["predicate_list"] = f"""
+        WITH specs(subj, items) AS (VALUES {_PL_VALUES}),
+        base AS (
+          SELECT subj, items,
+                 concat_ws(chr(31), 'pl', subj, '{_PL_PRED}',
+                           array_to_string(items, chr(30))) AS lid
+          FROM specs
+        ),
+        cells AS (
+          SELECT subj, lid, u.i - 1 AS pos, items[u.i] AS item,
+                 len(items) AS n
+          FROM base, unnest(generate_series(1, len(items))) AS u(i)
+        )
+        SELECT subj, '{_PL_PRED}' AS pred,
+               CASE WHEN len(items) = 0 THEN '{_RDF_NIL}'
+                    ELSE {_cell.format(p="0")} END AS obj
+        FROM base
+        UNION ALL
+        SELECT {_cell.format(p="pos")} AS subj, '{_RDF_FIRST}' AS pred,
+               item AS obj FROM cells
+        UNION ALL
+        SELECT {_cell.format(p="pos")} AS subj, '{_RDF_REST}' AS pred,
+               CASE WHEN pos = n - 1 THEN '{_RDF_NIL}'
+                    ELSE {_cell.format(p="pos + 1")} END AS obj
+        FROM cells
+        """
+
+    sqls["turtle_roundtrip"] = f"""
+        WITH t AS ({sqls["triples_emit"]})
+        SELECT subj, pred, obj FROM t
+        """
+
+    sqls["inverse_pairing"] = f"""
+        WITH t(subj, pred, obj, lit) AS (VALUES {_INV_VALUES})
+        SELECT DISTINCT subj, pred, obj FROM (
+          SELECT subj, pred, obj FROM t
+          UNION ALL
+          SELECT obj AS subj,
+                 CASE pred WHEN '{_HAS_PART}' THEN '{_PART_OF}'
+                           ELSE '{_HAS_PART}' END AS pred,
+                 subj AS obj
+          FROM t
+          WHERE NOT lit AND pred IN ('{_HAS_PART}', '{_PART_OF}')
+        ) u
         """
 
     sqls["embedding_topk"] = """

@@ -49,6 +49,41 @@ def natsort_key(s: str) -> str:
     return "\x01".join(parts)
 
 
+def make_version_iri_from_iri(iri: str, epoch: int) -> str:
+    """``{base}/{name}/version/{epoch}/{basename}`` (reference
+    ``ontutils.py:315-321``, posix-dirname semantics)."""
+    base, _, basename = iri.rpartition("/")
+    name = basename.rsplit(".", 1)[0] if "." in basename else basename
+    return f"{base}/{name}/version/{epoch}/{basename}"
+
+
+def interlex_namespace(user: str) -> str:
+    """``http://uri.interlex.org/ + user`` (reference
+    ``namespaces.py:9-10``)."""
+    return "http://uri.interlex.org/" + user
+
+
+def token_set_ratio(a: str, b: str) -> float:
+    """Public token-set similarity (fuzzywuzzy's token_set_ratio
+    construction over stdlib SequenceMatcher): compare
+    sorted-intersection vs intersection+remainder strings and take the
+    max ratio.  The engine's stand-in for the reference's WordNet
+    sentence similarity (``ilxutils/nltklib.py:36-70``) — deterministic
+    and dependency-free."""
+    from difflib import SequenceMatcher
+
+    ta, tb = set(a.lower().split()), set(b.lower().split())
+    if not ta or not tb:
+        return 0.0
+    inter = " ".join(sorted(ta & tb))
+    sa = (inter + " " + " ".join(sorted(ta - tb))).strip()
+    sb = (inter + " " + " ".join(sorted(tb - ta))).strip()
+    return max(
+        SequenceMatcher(None, inter, sa).ratio(),
+        SequenceMatcher(None, inter, sb).ratio(),
+        SequenceMatcher(None, sa, sb).ratio())
+
+
 # --- litsort ------------------------------------------------------------
 
 XSD = "http://www.w3.org/2001/XMLSchema#"

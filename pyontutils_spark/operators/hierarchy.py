@@ -150,6 +150,90 @@ def normalize_symmetric(triples: DataFrame,
         .distinct())
 
 
+def topo_layers(edges: DataFrame, max_iter: int = 32,
+                child="child", parent="parent") -> DataFrame:
+    """(node, layer) with layer = longest subClassOf chain above the
+    node — superclasses always get a smaller layer than any subclass,
+    the layered ordering of ``SubClassOfTurtleSerializer._TCRank``
+    (``ttlser/serializers.py:900-985``: supers sort before subs, ties
+    broken by qname natsort downstream).
+
+    Bellman-Ford-style relaxation as DataFrame joins: start all nodes
+    at 0, each round layer(child) := max(layer(parent)) + 1; layers only
+    grow, so a stable (count, sum) signature means convergence.  Rounds
+    are bounded by the DAG's depth (<= max_iter), each round is one
+    shuffle on the parent key — scales like the CC operator."""
+    nodes = (edges.select(F.col(child).alias("node"))
+             .unionByName(edges.select(F.col(parent).alias("node")))
+             .distinct())
+    layers = nodes.withColumn("layer", F.lit(0)) \
+        .localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        upd = (edges.select(F.col(child).alias("node"),
+                            F.col(parent).alias("p"))
+               .join(layers.select(F.col("node").alias("p"),
+                                   F.col("layer").alias("p_layer")), "p")
+               .groupBy("node")
+               .agg((F.max("p_layer") + 1).alias("up")))
+        layers = (layers.join(upd, "node", "left")
+                  .select("node",
+                          F.greatest("layer", F.coalesce("up", F.lit(0)))
+                          .alias("layer"))
+                  .localCheckpoint(eager=True))
+        sig = layers.agg(F.count("*").alias("n"),
+                         F.sum("layer").alias("s")).collect()[0]
+        sig = (sig["n"], sig["s"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return layers
+
+
+def topo_order(edges: DataFrame, max_iter: int = 32) -> DataFrame:
+    """Layered deterministic ordering: (node, layer) sorted by
+    (layer, natsort-key(node)) — the scottl subject emission order."""
+    from ..operators.ordering import subj_rank_udf
+    return (topo_layers(edges, max_iter)
+            .withColumn("nk", subj_rank_udf("node"))
+            .orderBy("layer", "nk", "node")
+            .drop("nk"))
+
+
+#: known inverse predicate pairs (reference ``core.py:991-992``:
+#: ``known_inverses += ('hasPart:', 'partOf:'),
+#: ('NIFRID:has_proper_part', 'NIFRID:proper_part_of')``), expanded to
+#: IRIs, both directions.
+_NIFRID = "http://uri.neuinfo.org/nif/nifstd/readable/"
+_PAIRS = (
+    ("http://purl.obolibrary.org/obo/BFO_0000051",   # hasPart
+     "http://purl.obolibrary.org/obo/BFO_0000050"),  # partOf
+    (_NIFRID + "has_proper_part", _NIFRID + "proper_part_of"),
+)
+KNOWN_INVERSES = {a: b for a, b in _PAIRS} | {b: a for a, b in _PAIRS}
+
+
+def materialize_inverses(triples: DataFrame,
+                         inverses: dict[str, str] | None = None
+                         ) -> DataFrame:
+    """Known-inverse pairing at emit: for every non-literal triple whose
+    predicate has a known inverse, also emit (obj, inverse, subj) — the
+    lookup the reference registers on its query services
+    (``pyontutils/core.py:991-992``) so queries see both directions.
+    Pure column expressions (a map literal + union), no shuffle."""
+    inv = inverses or KNOWN_INVERSES
+    mapping = F.create_map(
+        *[F.lit(x) for kv in inv.items() for x in kv])
+    paired = (triples
+              .filter(~F.col("obj_is_literal")
+                      & F.col("pred").isin(*inv.keys()))
+              .select(F.col("obj").alias("subj"),
+                      mapping[F.col("pred")].alias("pred"),
+                      F.col("subj").alias("obj"),
+                      "obj_is_literal", "obj_datatype", "obj_lang"))
+    return triples.unionByName(paired).distinct()
+
+
 def subtree_sizes(edges: DataFrame, max_depth: int = 30) -> DataFrame:
     """Transitive-closure size per ancestor (tcsort/count semantics,
     hierarchies.py:47-49, :603) — used for subtree ordering."""

@@ -18,10 +18,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..kernel.norm import local_degrade, natsort_key
+from ..kernel.norm import local_degrade, natsort_key, token_set_ratio
 
 SCORE_LABEL = 1.0
 SCORE_SYNONYM = 0.9
+#: fuzzy tier: score = SCORE_FUZZY_BASE * token_set_ratio, so any fuzzy
+#: hit (< 0.8) always ranks below every exact label (1.0) / synonym
+#: (0.9) hit — the ordered-probe priority of the reference's
+#: exhaustive checks with nltklib similarity as the last resort
+#: (ilxutils/interlex_ingestion.py:103-117; nltklib.py:36-70).
+SCORE_FUZZY_BASE = 0.8
 
 
 def candidate_rows(lexicon: list[dict], min_length: int = 3) -> list[dict]:
@@ -55,6 +61,45 @@ def best_candidates(lexicon: list[dict], min_length: int = 3) -> list[dict]:
             best[r["pattern_norm"]] = r
     return [{k: v for k, v in r.items() if k != "_key"}
             for r in best.values()]
+
+
+def fuzzy_candidate_rows(patterns: list[str], lexicon: list[dict],
+                         min_ratio: float = 0.6) -> list[dict]:
+    """Third scoring tier: for surface patterns with NO exact
+    label/synonym candidate, score against every lexicon label +
+    synonym by public token-set similarity and keep the best match per
+    pattern above ``min_ratio``, scored ``SCORE_FUZZY_BASE * ratio``.
+
+    Driver-side like the other candidate builders — both operands are
+    lexicon-scale (the pattern vocabulary is bounded by the automaton's
+    pattern set), and the result ships to executors as one broadcast.
+    Ties break by natsort of the curie, like best_candidates."""
+    exact = {r["pattern_norm"] for r in candidate_rows(lexicon,
+                                                       min_length=1)}
+    out: dict[str, dict] = {}
+    for pat in patterns:
+        if pat in exact:
+            continue
+        best_key = None
+        best = None
+        for t in lexicon:
+            for cand_text, is_syn in (
+                    [(t["label_norm"], False)]
+                    + [(local_degrade(s), True)
+                       for s in t.get("synonyms", ())]):
+                ratio = token_set_ratio(pat, cand_text)
+                if ratio < min_ratio:
+                    continue
+                key = (-ratio, natsort_key(t["curie"]))
+                if best_key is None or key < best_key:
+                    best_key = key
+                    best = dict(pattern_norm=pat, term_id=t["term_id"],
+                                curie=t["curie"], iri=t["iri"],
+                                score=SCORE_FUZZY_BASE * ratio,
+                                is_synonym=is_syn)
+        if best is not None:
+            out[pat] = best
+    return list(out.values())
 
 
 def candidates_df(spark: SparkSession, lexicon: list[dict],

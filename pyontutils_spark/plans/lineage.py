@@ -170,6 +170,43 @@ def run_with_lineage(spark: SparkSession, pages: DataFrame,
     }
 
 
+PROV_NS = "http://www.w3.org/ns/prov#"
+PROV_WAS_DERIVED_FROM = PROV_NS + "wasDerivedFrom"
+PROV_WAS_GENERATED_BY = PROV_NS + "wasGeneratedBy"
+PROV_ACTIVITY = PROV_NS + "Activity"
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_TEMP_NS = "http://uri.interlex.org/temp/uris/"
+
+
+def prov_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    """PROV provenance triples per bucket/run, derived from the lineage
+    rows — the reference's per-source provenance mapping
+    (``pyontutils/core.py:1373-1377``: ``wasDerivedFrom`` = direct
+    source, ``wasGeneratedBy`` = the generating run).
+
+    Each done bucket's graph partition gets
+    ``<bucketGraph> prov:wasDerivedFrom <sourcePartition>``,
+    ``<bucketGraph> prov:wasGeneratedBy <run>``, and each run is typed
+    ``prov:Activity``.  Rows come from the (n_buckets-sized) lineage
+    JSON, so resume-stability is inherited: a bucket keeps the run_id
+    that actually produced it."""
+    from ..operators import vocab
+
+    recs = []
+    for r in read_lineage(out_dir):
+        if r.get("status") != "done":
+            continue
+        b_iri = f"{_TEMP_NS}graph/bucket/{r['bucket']}"
+        run_iri = f"{_TEMP_NS}run/{r['run_id']}"
+        src_iri = f"{_TEMP_NS}source/pages_bucketed/bucket/{r['bucket']}"
+        recs += [
+            (b_iri, PROV_WAS_DERIVED_FROM, src_iri, False, None, None),
+            (b_iri, PROV_WAS_GENERATED_BY, run_iri, False, None, None),
+            (run_iri, _RDF_TYPE, PROV_ACTIVITY, False, None, None),
+        ]
+    return spark.createDataFrame(recs, vocab.TRIPLE_SCHEMA).distinct()
+
+
 def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
     """Final triple set (set semantics: entity triples emitted by
     multiple groups collapse under distinct)."""

@@ -191,3 +191,50 @@ def test_normalize_symmetric(spark):
     assert ("http://e/b", dj, "http://e/a") not in got
     assert ("http://e/a", vocab.RDFS_LABEL, "zzz") in got
     assert out.count() == 2
+
+
+def test_topo_layers_longest_chain(spark):
+    """scottl layering (serializers.py:900-985): supers get strictly
+    smaller layers than subs; layer = longest chain above the node."""
+    from pyontutils_spark.operators.hierarchy import topo_layers, topo_order
+    import pyspark.sql.functions as SF
+    # diamond a <- b1,b2 <- c ; plus long chain a <- b1 <- d <- e
+    edges = [("b1", "a"), ("b2", "a"), ("c", "b1"), ("c", "b2"),
+             ("d", "b1"), ("e", "d")]
+    df = spark.createDataFrame(edges, "child string, parent string")
+    got = {r.node: r.layer for r in topo_layers(df).collect()}
+    assert got == {"a": 0, "b1": 1, "b2": 1, "c": 2, "d": 2, "e": 3}
+    # every edge is super-before-sub
+    for child, parent in edges:
+        assert got[parent] < got[child]
+    ordered = [r.node for r in topo_order(df).collect()]
+    assert ordered == ["a", "b1", "b2", "c", "d", "e"]
+
+
+def test_topo_layers_cycle_bounded(spark):
+    """A cycle must not hang: max_iter bounds the relaxation."""
+    from pyontutils_spark.operators.hierarchy import topo_layers
+    df = spark.createDataFrame([("x", "y"), ("y", "x"), ("z", "x")],
+                               "child string, parent string")
+    got = topo_layers(df, max_iter=6).collect()
+    assert len(got) == 3  # completes and covers all nodes
+
+
+def test_materialize_inverses(spark):
+    from pyontutils_spark.operators.hierarchy import (
+        KNOWN_INVERSES, materialize_inverses)
+    from pyontutils_spark.operators import vocab
+    has_part = "http://purl.obolibrary.org/obo/BFO_0000051"
+    part_of = "http://purl.obolibrary.org/obo/BFO_0000050"
+    assert KNOWN_INVERSES[has_part] == part_of
+    assert KNOWN_INVERSES[part_of] == has_part
+    t = spark.createDataFrame(
+        [("http://e/whole", has_part, "http://e/piece", False, None, None),
+         ("http://e/x", "http://p/other", "http://e/y", False, None, None),
+         ("http://e/w", has_part, "lit", True, None, None)],
+        vocab.TRIPLE_SCHEMA)
+    got = {(r.subj, r.pred, r.obj) for r in
+           materialize_inverses(t).collect()}
+    assert ("http://e/piece", part_of, "http://e/whole") in got
+    # non-inverse predicates and literal objects pass through unpaired
+    assert len(got) == 4

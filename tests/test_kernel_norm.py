@@ -93,3 +93,31 @@ def test_python_identifier():
 
 def test_tokstrip():
     assert tokstrip("(hippocampus),") == "hippocampus"
+
+
+def test_make_version_iri_from_iri():
+    from pyontutils_spark.kernel.norm import make_version_iri_from_iri
+    # reference shape (ontutils.py:315-321)
+    assert make_version_iri_from_iri(
+        "http://ontology.neuinfo.org/NIF/ttl/nif.ttl", 1524000000) == \
+        "http://ontology.neuinfo.org/NIF/ttl/nif/version/1524000000/nif.ttl"
+    assert make_version_iri_from_iri("http://e/x/noext", 7) == \
+        "http://e/x/noext/version/7/noext"
+
+
+def test_interlex_namespace():
+    from pyontutils_spark.kernel.norm import interlex_namespace
+    assert interlex_namespace("base") == "http://uri.interlex.org/base"
+    assert interlex_namespace("tgbugs/uris/") == \
+        "http://uri.interlex.org/tgbugs/uris/"
+
+
+def test_token_set_ratio():
+    from pyontutils_spark.kernel.norm import token_set_ratio
+    assert token_set_ratio("cerebral cortex", "cerebral cortex") == 1.0
+    # token order must not matter (set semantics)
+    assert token_set_ratio("cortex cerebral", "cerebral cortex") == 1.0
+    # subset probes score high (intersection-vs-intersection+rest)
+    assert token_set_ratio("cortex", "cerebral cortex") > 0.6
+    assert token_set_ratio("", "x") == 0.0
+    assert token_set_ratio("aardvark", "zebra") < 0.5

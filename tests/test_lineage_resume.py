@@ -75,3 +75,35 @@ def test_rerun_after_completion_is_noop(spark, out_dir):
     s = run_with_lineage(spark, df, LEX, out_dir, n_buckets=N_BUCKETS)
     assert s["groups_processed"] == []
     assert _triple_set(read_triples(spark, out_dir)) == before
+
+
+def test_prov_triples_present_and_resume_stable(spark, tmp_path):
+    """PROV provenance triples (core.py:1373-1377 mapping) exist per
+    done bucket and are identical between a kill+resume run and what
+    the completed lineage records."""
+    from pyontutils_spark.plans.lineage import (
+        PROV_WAS_DERIVED_FROM, PROV_WAS_GENERATED_BY, prov_triples,
+        run_with_lineage)
+    from pyontutils_spark.synth.lexicon import make_lexicon
+    from pyontutils_spark.synth.spark_gen import pages_df
+
+    lex = make_lexicon()
+    pages = pages_df(spark, 60)
+    out = str(tmp_path / "prov_run")
+    # killed run: only 1 group processed
+    run_with_lineage(spark, pages, lex, out, n_buckets=4, group_size=2,
+                     max_groups=1, run_id="run-A")
+    partial = {tuple(r) for r in prov_triples(spark, out).collect()}
+    assert len(partial) > 0
+    # resume with a different run id completes the rest
+    run_with_lineage(spark, pages, lex, out, n_buckets=4, group_size=2,
+                     run_id="run-B")
+    full = {(r.subj, r.pred, r.obj)
+            for r in prov_triples(spark, out).collect()}
+    # earlier buckets keep run-A provenance (resume did not rewrite)
+    assert {t for t in partial if (t[0], t[1], t[2]) not in full} == set()
+    gen = {o for s, p, o in full if p == PROV_WAS_GENERATED_BY}
+    assert gen == {"http://uri.interlex.org/temp/uris/run/run-A",
+                   "http://uri.interlex.org/temp/uris/run/run-B"}
+    der = [t for t in full if t[1] == PROV_WAS_DERIVED_FROM]
+    assert len(der) == 4  # one per bucket

@@ -185,3 +185,26 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     plan = _plan(joined)
     assert "Exchange hashpartitioning" not in plan
     assert joined.count() == 10000
+
+
+def test_fuzzy_candidates_third_tier(spark):
+    """Fuzzy tier scores strictly below synonym tier and picks the
+    token-set-closest lexicon term (nltklib.py:36-70 semantics with a
+    public similarity)."""
+    from pyontutils_spark.operators.linking import (
+        SCORE_FUZZY_BASE, SCORE_SYNONYM, fuzzy_candidate_rows)
+    lex = [
+        dict(term_id=1, label_norm="cerebral cortex", curie="ILX:1",
+             iri="http://e/1", synonyms=["neocortex"]),
+        dict(term_id=2, label_norm="cerebellum", curie="ILX:2",
+             iri="http://e/2", synonyms=[]),
+    ]
+    rows = fuzzy_candidate_rows(
+        ["cortex cerebral", "cerebral cortex", "zzz qqq"], lex)
+    got = {r["pattern_norm"]: r for r in rows}
+    # exact pattern is excluded (tiers 1-2 own it); garbage matches nothing
+    assert "cerebral cortex" not in got and "zzz qqq" not in got
+    r = got["cortex cerebral"]
+    assert r["curie"] == "ILX:1"
+    assert r["score"] == SCORE_FUZZY_BASE  # ratio 1.0 on the token set
+    assert r["score"] < SCORE_SYNONYM
