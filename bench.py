@@ -108,6 +108,34 @@ def main() -> None:
         _force(qs[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # --- graph operators at benchmark scale (>=10^6 edges; the driver
+    # fixtures measure only per-round JVM overhead) ----------------------
+    from pyontutils_spark.operators.components import canonical_mapping
+    from pyontutils_spark.operators.hierarchy import transitive_closure
+    from pyontutils_spark.synth.graphs import sameas_chain_edges, tree_edges
+
+    n_graph = int(os.environ.get("SPARK_GRAFT_GRAPH_EDGES", "1000000"))
+    sa_path = os.path.join(CACHE_DIR, f"sameas_{n_graph}.parquet")
+    if not os.path.exists(sa_path):
+        sameas_chain_edges(spark, n_graph).write.parquet(sa_path)
+    tr_path = os.path.join(CACHE_DIR, f"tree_{n_graph}.parquet")
+    if not os.path.exists(tr_path):
+        tree_edges(spark, n_graph).write.parquet(tr_path)
+
+    sa = spark.read.parquet(sa_path)
+    t0 = time.perf_counter()
+    _force(canonical_mapping(sa))
+    dt = time.perf_counter() - t0
+    timings["sameas_components_1m"] = round(dt, 3)
+    extras["cc_edges_per_sec"] = round(n_graph / dt, 1)
+
+    tr = spark.read.parquet(tr_path)
+    t0 = time.perf_counter()
+    _force(transitive_closure(tr, max_depth=30))
+    dt = time.perf_counter() - t0
+    timings["transitive_closure_1m"] = round(dt, 3)
+    extras["tc_edges_per_sec"] = round(n_graph / dt, 1)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "kg_triple_factory+operator_suite_runtime",

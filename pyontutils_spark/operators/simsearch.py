@@ -84,22 +84,27 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
              q_id: str = "q_id", c_id: str = "vec_id",
              vec: str = "embedding") -> DataFrame:
     """Bucketed ANN: candidates share a bucket in any table; exact
-    cosine rerank within candidates; top-k per query."""
-    qs = (lsh_signatures(
-        queries.select(F.col(q_id).alias("q_id"),
-                       F.col(vec).cast("array<double>").alias("qv")),
-        dim, n_planes, n_tables, vec="qv")
-        .select("q_id", "qv", F.posexplode("buckets")
-                .alias("table", "bucket")))
-    cs = (lsh_signatures(
-        corpus.select(F.col(c_id).alias("c_id"),
-                      F.col(vec).cast("array<double>").alias("cv")),
-        dim, n_planes, n_tables, vec="cv")
-        .select("c_id", "cv", F.posexplode("buckets")
-                .alias("table", "bucket")))
+    cosine rerank within candidates; top-k per query.
+
+    Shuffle hygiene: the n_tables-way exploded bucket join carries ONLY
+    (id, table, bucket) rows — vectors are re-joined by id AFTER the
+    candidate dedup (queries by broadcast, corpus by one id-join).  The
+    corpus is scanned twice (signatures + vector re-join), which at
+    scale is a columnar re-read vs shipping n_tables copies of every
+    vector through the bucket shuffle — the re-read wins."""
+    q_base = queries.select(F.col(q_id).alias("q_id"),
+                            F.col(vec).cast("array<double>").alias("qv"))
+    c_base = corpus.select(F.col(c_id).alias("c_id"),
+                           F.col(vec).cast("array<double>").alias("cv"))
+    qs = (lsh_signatures(q_base, dim, n_planes, n_tables, vec="qv")
+          .select("q_id", F.posexplode("buckets").alias("table", "bucket")))
+    cs = (lsh_signatures(c_base, dim, n_planes, n_tables, vec="cv")
+          .select("c_id", F.posexplode("buckets").alias("table", "bucket")))
     cand = (qs.join(cs, ["table", "bucket"])
-            .select("q_id", "qv", "c_id", "cv")
-            .dropDuplicates(["q_id", "c_id"]))
+            .select("q_id", "c_id")
+            .dropDuplicates(["q_id", "c_id"])
+            .join(F.broadcast(q_base), "q_id")
+            .join(c_base, "c_id"))
     scored = (cand.withColumn("cosine", cosine_sim(F.col("qv"), F.col("cv")))
               .select("q_id", F.col("c_id").alias(c_id), "cosine"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col(c_id))
