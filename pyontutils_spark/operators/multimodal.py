@@ -1,17 +1,28 @@
-"""Multimodal column plumbing: image/audio/video as opaque ``binary``
-columns with typed metadata.
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata, plus decode / resize / feature-extract / frame-
+sample stages as Arrow-batched ``mapInPandas`` operators.
 
-The decode step is STUBBED (image/audio libraries are not in this
-container): ``decode_image`` raises ``NotImplementedError`` unless a
-deterministic fake decoder is requested.  Everything around the stub —
-schema, Arrow batch shape, ``mapInPandas`` plumbing, partition sizing —
-is real and tested, so swapping in PIL/ffmpeg later touches one
-function.
+Decode is REAL for the formats that need no external libraries:
+
+- **PPM (P6)** and **uncompressed 24-bit BMP** images — pure byte
+  parsing into ``numpy`` (height, width, 3) arrays,
+- **WAV (PCM)** audio — stdlib ``wave`` + ``numpy``.
+
+Compressed formats (PNG/JPEG/MP3/video codecs) require libraries this
+container doesn't ship; ``decode_image`` dispatches on magic bytes and
+raises a declared ``NotImplementedError`` for those — the Spark-side
+plumbing (schema, partitioning, UDF signature, bounded batch shape) is
+identical either way, so wiring PIL/ffmpeg later touches only the
+dispatch table.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import re
+import struct
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -31,61 +42,212 @@ except ImportError:
     pass
 
 
-def decode_image(payload: bytes) -> "np.ndarray":
-    """Real decoder — requires PIL (absent here)."""
-    if not _HAVE_PIL:
+# ---------------------------------------------------------------------------
+# pure decoders (no external libraries)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6)."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + \
+        pixels.astype("u1").tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval<=255) -> (h, w, 3) uint8."""
+    m = re.match(rb"P6\s+(?:#[^\n]*\s+)*(\d+)\s+(\d+)\s+(\d+)\s",
+                 payload)
+    if not m:
+        raise ValueError("not a binary PPM (P6) payload")
+    w, h, maxv = (int(m.group(i)) for i in (1, 2, 3))
+    if maxv > 255:
+        raise ValueError("16-bit PPM not supported")
+    data = payload[m.end():m.end() + w * h * 3]
+    if len(data) < w * h * 3:
+        raise ValueError("truncated PPM payload")
+    return np.frombuffer(data, dtype="u1").reshape(h, w, 3).copy()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> (h, w, 3) uint8 (RGB)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
         raise NotImplementedError(
-            "image decoding requires PIL; use fake_decode for tests")
-    raise NotImplementedError("wire PIL decode here")
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={comp})")
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    flip = h > 0
+    h = abs(h)
+    rows = []
+    for r in range(h):
+        start = off + r * stride
+        row = np.frombuffer(payload[start:start + w * 3], dtype="u1")
+        rows.append(row.reshape(w, 3)[:, ::-1])  # BGR -> RGB
+    arr = np.stack(rows)
+    return arr[::-1] if flip else arr  # bottom-up storage
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV (PCM 16-bit) -> (samples int16 array [n, channels], rate)."""
+    with wave.open(io.BytesIO(payload)) as wf:
+        n, ch, width, rate = (wf.getnframes(), wf.getnchannels(),
+                              wf.getsampwidth(), wf.getframerate())
+        if width != 2:
+            raise NotImplementedError("only 16-bit PCM WAV supported")
+        raw = wf.readframes(n)
+    return np.frombuffer(raw, dtype="<i2").reshape(-1, ch), rate
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch: PPM/BMP decode here; PNG/JPEG need PIL
+    (absent in this container -> declared NotImplementedError)."""
+    b = bytes(payload[:8])
+    if b.startswith(b"P6"):
+        return decode_ppm(payload)
+    if b.startswith(b"BM"):
+        return decode_bmp(payload)
+    if b.startswith(b"\x89PNG") or b.startswith(b"\xff\xd8"):
+        if not _HAVE_PIL:
+            raise NotImplementedError(
+                "PNG/JPEG decoding requires PIL, not in this container")
+        import PIL.Image
+        return np.asarray(PIL.Image.open(io.BytesIO(payload))
+                          .convert("RGB"))
+    raise ValueError(f"unknown image magic {b!r}")
+
+
+def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy indexing."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return arr[ys][:, xs]
+
+
+def image_features(arr: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic pixel features in [0,1]: per-channel mean/std plus
+    a downsampled luminance grid filling the remaining dims."""
+    f = np.empty(dim, dtype="float64")
+    a = arr.astype("float64") / 255.0
+    f[0:3] = a.mean(axis=(0, 1))
+    f[3:6] = a.std(axis=(0, 1))
+    rest = dim - 6
+    if rest > 0:
+        side = int(np.ceil(np.sqrt(rest)))
+        lum = a.mean(axis=2)
+        grid = resize_nearest(lum[:, :, None], side, side)[:, :, 0]
+        f[6:] = grid.flatten()[:rest]
+    return f
 
 
 def fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Deterministic fake 'decode + feature extract': sha256 of the
-    payload expanded to ``dim`` floats in [0,1).  Stands in for a real
-    embedding model; deterministic per payload bytes."""
+    """Deterministic hash-expanded features — stands in for a learned
+    embedding model (which no library in this container provides)."""
     h = hashlib.sha256(payload).digest()
     raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[:dim * 4],
                         dtype="<u4").astype("float64")
     return raw / 2**32
 
 
+# ---------------------------------------------------------------------------
+# synthetic media (real encoded payloads)
+# ---------------------------------------------------------------------------
+
 def synth_media(spark, n: int, kind: str = "image") -> DataFrame:
-    """Deterministic synthetic media table (payload = seeded bytes)."""
+    """Deterministic synthetic media table.  Image payloads are REAL
+    binary PPMs (per-id gradient pattern); audio payloads are real
+    16-bit PCM WAVs (per-id sine) — so the decode stage exercises the
+    actual byte parsers."""
     rng = spark.range(0, n, 1)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].astype("int64")
-            payloads = [hashlib.sha256(f"media-{i}".encode()).digest() * 8
-                        for i in ids]
+            payloads, widths, heights, durs, mimes = [], [], [], [], []
+            for i in ids:
+                if kind == "image":
+                    w, h = int(i % 24) + 8, int(i % 16) + 8
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    pix = np.stack([(xx * 7 + i) % 256,
+                                    (yy * 11 + i * 3) % 256,
+                                    (xx + yy + i * 5) % 256],
+                                   axis=2).astype("u1")
+                    payloads.append(encode_ppm(pix))
+                    widths.append(w)
+                    heights.append(h)
+                    durs.append(None)
+                    mimes.append("image/x-portable-pixmap")
+                else:  # audio
+                    rate, n_samp = 8000, 800
+                    t = np.arange(n_samp)
+                    freq = 100 + (int(i) % 20) * 10
+                    samples = (np.sin(2 * np.pi * freq * t / rate)
+                               * 20000).astype("<i2")
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(rate)
+                        wf.writeframes(samples.tobytes())
+                    payloads.append(buf.getvalue())
+                    widths.append(None)
+                    heights.append(None)
+                    durs.append(int(n_samp * 1000 / rate))
+                    mimes.append("audio/wav")
             yield pd.DataFrame({
                 "media_id": ids,
                 "kind": kind,
                 "payload": payloads,
-                "mime": "image/fake",
-                "width": (ids % 640 + 32).astype("int32"),
-                "height": (ids % 480 + 32).astype("int32"),
-                "duration_ms": pd.array([None] * len(ids), dtype="Int32"),
+                "mime": mimes,
+                "width": pd.array(widths, dtype="Int32"),
+                "height": pd.array(heights, dtype="Int32"),
+                "duration_ms": pd.array(durs, dtype="Int32"),
             })
 
     return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Spark stages
+# ---------------------------------------------------------------------------
+
 def extract_features(media: DataFrame, dim: int = FEATURE_DIM,
-                     batch_limit: int = 1024) -> DataFrame:
+                     batch_limit: int = 1024,
+                     decoder: str = "image") -> DataFrame:
     """media -> (media_id, features array<double>) via mapInPandas.
 
-    The Arrow batch iterator shape is the real production plumbing:
-    payload bytes never land in a Python list-of-rows, and each yielded
-    batch is bounded so executor memory stays flat regardless of
-    payload size."""
+    ``decoder``: 'image' (real PPM/BMP pixel features), 'audio' (real
+    WAV spectral-free stats), or 'hash' (format-agnostic fake).  The
+    Arrow batch iterator shape is the production plumbing: payload
+    bytes never land in a Python list-of-rows, and each yielded batch
+    is bounded so executor memory stays flat regardless of payload
+    size."""
     src = media.select("media_id", "payload")
+
+    def one(payload: bytes) -> np.ndarray:
+        if decoder == "image":
+            return image_features(decode_image(payload), dim)
+        if decoder == "audio":
+            samples, rate = decode_wav(payload)
+            x = samples.astype("float64") / 32768.0
+            f = np.zeros(dim)
+            f[0] = x.mean()
+            f[1] = x.std()
+            f[2] = np.abs(np.diff(np.signbit(x[:, 0]))).mean()  # zcr
+            f[3] = rate / 48000.0
+            return f
+        return fake_decode(payload, dim)
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for lo in range(0, len(pdf), batch_limit):
                 chunk = pdf.iloc[lo:lo + batch_limit]
-                arr = [fake_decode(bytes(p), dim) for p in chunk["payload"]]
+                arr = [one(bytes(p)) for p in chunk["payload"]]
                 yield pd.DataFrame({
                     "media_id": chunk["media_id"].to_numpy(),
                     "features": [a.tolist() for a in arr],
@@ -95,10 +257,32 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM,
         feats, schema="media_id long, features array<double>")
 
 
+def resize_images(media: DataFrame, out_w: int, out_h: int,
+                  batch_limit: int = 256) -> DataFrame:
+    """media -> (media_id, payload) with every image re-encoded as a
+    PPM of (out_w, out_h) — the resize stage as a real operator."""
+    src = media.select("media_id", "payload")
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[lo:lo + batch_limit]
+                out = [encode_ppm(resize_nearest(
+                    decode_image(bytes(p)), out_w, out_h))
+                    for p in chunk["payload"]]
+                yield pd.DataFrame({
+                    "media_id": chunk["media_id"].to_numpy(),
+                    "payload": out,
+                })
+
+    return src.mapInPandas(rs, schema="media_id long, payload binary")
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: (media_id, frame_ts_ms) rows derived
-    from duration metadata — pure column expressions (the decode of each
-    planned frame is the stubbed step)."""
+    from duration metadata — pure column expressions (decoding the
+    planned frames needs video codecs, which stay behind the
+    decode_image gate)."""
     return (media.filter(F.col("duration_ms").isNotNull())
             .select("media_id",
                     F.explode(F.sequence(

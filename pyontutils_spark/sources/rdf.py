@@ -2,9 +2,13 @@
 
 - ``read_ntriples``: line-format scan — parsing is a single JVM-side
   regexp (no Python in the scan path), with a pandas-UDF fallback for
-  escaped literals.  The reference's parse-with-format-fallback
-  (``ttlser/ttlser/ttlfmt.py:78-100``) maps to format dispatch by
-  extension here.
+  escaped literals.
+- ``read_turtle`` / ``read_rdfxml`` / ``read_jsonld``: document formats,
+  parsed per file by the pure kernel parsers (ttl/rdfxml/jsonld) inside
+  ``mapInPandas``.
+- ``read_rdf``: the reference's parse-with-format-fallback
+  (``ttlser/ttlser/ttlfmt.py:75,78-100``) — extension dispatch, then
+  the ttlfmt try-order turtle -> json-ld -> nt -> rdf-xml.
 - ``write_ntriples``: canonical ordered NT dump (sorted via
   operators/ordering, formatted JVM-side).
 - ``write_turtle_string``: deterministic turtle for a (small) graph —
@@ -126,18 +130,16 @@ def write_turtle_html_string(triples: DataFrame, prefix_map=None) -> str:
     return f"<pre>\n{body}</pre>\n"
 
 
-def read_turtle(spark: SparkSession, path: str) -> DataFrame:
-    """Turtle files -> triple rows (kernel/ttl.py parser per file).
-
-    The file is the parse unit (Turtle has document-level prefix state,
-    so it cannot be line-split like NT): ``wholetext`` scan, one Arrow
-    batch per file, parse inside ``mapInPandas``.  At scale a corpus is
-    many .ttl files -> many tasks; a single giant Turtle file should be
-    converted to NT/parquet first (same constraint the reference has —
-    rdflib parses one document in one process).  BNodes are skolemized
-    per file path, so output is deterministic and join-safe."""
-    from ..kernel.ttl import parse_turtle
-
+def _per_file_source(spark: SparkSession, path: str, parse) -> DataFrame:
+    """Whole-file scan -> ``parse(text, src_path)`` per file inside
+    ``mapInPandas``.  The file is the parse unit for document formats
+    (Turtle/RDF-XML/JSON-LD carry document-level state — prefix maps,
+    xml:base, @context — so they cannot be line-split like NT): at
+    scale a corpus is many files -> many tasks; a single giant document
+    should be converted to NT/parquet first (the same constraint the
+    reference has — rdflib parses one document in one process).  BNodes
+    are skolemized per file path, so output is deterministic and
+    join-safe."""
     files = spark.read.text(path, wholetext=True) \
         .withColumn("_src", F.input_file_name())
 
@@ -147,33 +149,55 @@ def read_turtle(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for text, src in zip(pdf["value"], pdf["_src"]):
-                for s, p, o, il, dt, lg in parse_turtle(text, src):
+                for s, p, o, il, dt, lg in parse(text, src):
                     rows.append((s, p, o, il, dt, lg))
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(per_file, schema=vocab.TRIPLE_SCHEMA)
 
 
+def read_turtle(spark: SparkSession, path: str) -> DataFrame:
+    """Turtle files -> triple rows (kernel/ttl.py parser per file)."""
+    from ..kernel.ttl import parse_turtle
+    return _per_file_source(spark, path, parse_turtle)
+
+
+def read_rdfxml(spark: SparkSession, path: str) -> DataFrame:
+    """RDF/XML files -> triple rows (kernel/rdfxml.py per file)."""
+    from ..kernel.rdfxml import parse_rdfxml
+    return _per_file_source(spark, path, parse_rdfxml)
+
+
+def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-LD files -> triple rows (kernel/jsonld.py per file)."""
+    from ..kernel.jsonld import parse_jsonld
+    return _per_file_source(spark, path, parse_jsonld)
+
+
 def read_rdf(spark: SparkSession, path: str,
              rdf_format: str | None = None) -> DataFrame:
     """Format-dispatched RDF read with fallback — the engine analog of
     ``ttlfmt``'s parse-with-format-fallback loop
-    (``ttlser/ttlser/ttlfmt.py:78-100``): explicit format wins, then
-    extension, then try turtle before nt (ttlfmt's format order also
-    starts at turtle)."""
+    (``ttlser/ttlser/ttlfmt.py:75,78-100``): explicit format wins, then
+    extension, then the ttlfmt try-order turtle -> json-ld -> nt ->
+    rdf-xml."""
     readers = {"turtle": read_turtle, "ttl": read_turtle,
                "nt": read_ntriples, "ntriples": read_ntriples,
-               "obo": read_obo}
+               "json-ld": read_jsonld, "jsonld": read_jsonld,
+               "rdf-xml": read_rdfxml, "rdfxml": read_rdfxml,
+               "xml": read_rdfxml, "obo": read_obo}
     if rdf_format:
         return readers[rdf_format](spark, path)
     low = path.lower()
     for ext, fn in ((".ttl", read_turtle), (".nt", read_ntriples),
-                    (".obo", read_obo)):
+                    (".jsonld", read_jsonld), (".json", read_jsonld),
+                    (".owl", read_rdfxml), (".rdf", read_rdfxml),
+                    (".xml", read_rdfxml), (".obo", read_obo)):
         if low.endswith(ext) or low.endswith(ext + "*") \
                 or (ext + "/") in low:
             return fn(spark, path)
     last_err = None
-    for fn in (read_turtle, read_ntriples):
+    for fn in (read_turtle, read_jsonld, read_ntriples, read_rdfxml):
         try:
             df = fn(spark, path)
             if not df.limit(1).collect():

@@ -10,7 +10,7 @@ from pyontutils_spark.operators.dedup import (
     exact_dedup_groups, h32, jaccard_verify, lsh_candidate_pairs,
     simhash, simhash_near_dups, with_minhash)
 from pyontutils_spark.operators.multimodal import (
-    extract_features, fake_decode, synth_media)
+    extract_features, synth_media)
 from pyontutils_spark.operators.simsearch import cosine_topk, lsh_topk
 from pyontutils_spark.operators.textstats import (
     fingerprint, lang_id, quality_features, token_count)
@@ -158,21 +158,66 @@ def test_fingerprint_deterministic(spark):
     assert fp[1] != fp[3]
 
 
-def test_multimodal_features(spark):
+def test_multimodal_image_features_real_decode(spark):
+    """synth images are REAL binary PPMs; the feature stage decodes the
+    actual bytes (no hash fake on this path)."""
+    from pyontutils_spark.operators.multimodal import (
+        decode_image, image_features)
     media = synth_media(spark, 20)
     feats = extract_features(media).collect()
     assert len(feats) == 20
     for r in feats:
         assert len(r.features) == 16
-        assert all(0.0 <= x < 1.0 for x in r.features)
-    # determinism: features equal fake_decode of the payload
+        assert all(0.0 <= x <= 1.0 for x in r.features)
     payload = {r.media_id: bytes(r.payload)
                for r in media.select("media_id", "payload").collect()}
     for r in feats[:5]:
-        assert r.features == list(fake_decode(payload[r.media_id]))
+        arr = decode_image(payload[r.media_id])
+        assert arr.ndim == 3 and arr.shape[2] == 3
+        assert r.features == list(image_features(arr))
 
 
-def test_multimodal_decode_stub():
+def test_multimodal_audio_wav_decode(spark):
+    from pyontutils_spark.operators.multimodal import decode_wav
+    media = synth_media(spark, 6, kind="audio")
+    rows = media.collect()
+    assert all(r.duration_ms == 100 for r in rows)
+    samples, rate = decode_wav(bytes(rows[0].payload))
+    assert rate == 8000 and samples.shape == (800, 1)
+    feats = extract_features(media, decoder="audio").collect()
+    assert len(feats) == 6
+    # distinct frequencies -> distinct zero-crossing rates
+    assert len({round(r.features[2], 6) for r in feats}) > 1
+
+
+def test_multimodal_resize_and_bmp(spark):
+    import numpy as np
+    import struct
+    from pyontutils_spark.operators.multimodal import (
+        decode_bmp, decode_image, decode_ppm, encode_ppm, resize_nearest,
+        resize_images)
+    media = synth_media(spark, 4)
+    out = {r.media_id: bytes(r.payload)
+           for r in resize_images(media, 8, 8).collect()}
+    for p in out.values():
+        assert decode_ppm(p).shape == (8, 8, 3)
+    # hand-built 2x2 24-bit BMP (bottom-up, row stride padded to 8)
+    px_bgr = [b"\x01\x02\x03" + b"\x04\x05\x06" + b"\x00\x00",   # row 0 (bottom)
+              b"\x07\x08\x09" + b"\x0a\x0b\x0c" + b"\x00\x00"]  # row 1 (top)
+    pixel_data = b"".join(px_bgr)
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0,
+                            len(pixel_data), 2835, 2835, 0, 0))
+    arr = decode_bmp(header + pixel_data)
+    assert arr.shape == (2, 2, 3)
+    # top-left pixel is row-1 first pixel, BGR->RGB flipped
+    assert arr[0, 0].tolist() == [0x09, 0x08, 0x07]
+    assert decode_image(header + pixel_data).tolist() == arr.tolist()
+
+
+def test_multimodal_decode_stub_for_compressed():
     from pyontutils_spark.operators.multimodal import decode_image
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        decode_image(b"GIBBERISH")
