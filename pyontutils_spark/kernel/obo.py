@@ -63,25 +63,75 @@ def parse_obo(text: str) -> dict:
 
 # Predicate IRIs for emitted triples (public OBO-in-OWL vocabulary).
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
-OWL_CLASS = "http://www.w3.org/2002/07/owl#Class"
-OWL_OBJPROP = "http://www.w3.org/2002/07/owl#ObjectProperty"
+OWL = "http://www.w3.org/2002/07/owl#"
+OWL_CLASS = OWL + "Class"
+OWL_OBJPROP = OWL + "ObjectProperty"
+OWL_ONTOLOGY = OWL + "Ontology"
+OWL_IMPORTS = OWL + "imports"
+OWL_VERSION_INFO = OWL + "versionInfo"
+OWL_INVERSE_OF = OWL + "inverseOf"
+OWL_DISJOINT_WITH = OWL + "disjointWith"
+OWL_EQUIVALENT_CLASS = OWL + "equivalentClass"
 RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
 RDFS_SUBCLASSOF = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
-OWL_DEPRECATED = "http://www.w3.org/2002/07/owl#deprecated"
+RDFS_SUBPROPERTYOF = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+RDFS_DOMAIN = "http://www.w3.org/2000/01/rdf-schema#domain"
+RDFS_RANGE = "http://www.w3.org/2000/01/rdf-schema#range"
+OWL_DEPRECATED = OWL + "deprecated"
 IAO_REPLACED_BY = "http://purl.obolibrary.org/obo/IAO_0100001"
 IAO_DEFINITION = "http://purl.obolibrary.org/obo/IAO_0000115"
-OIO_HASEXACTSYN = "http://www.geneontology.org/formats/oboInOwl#hasExactSynonym"
-OIO_HASRELATEDSYN = "http://www.geneontology.org/formats/oboInOwl#hasRelatedSynonym"
-OIO_HASDBXREF = "http://www.geneontology.org/formats/oboInOwl#hasDbXref"
-OIO_NAMESPACE = "http://www.geneontology.org/formats/oboInOwl#hasOBONamespace"
+_OIO = "http://www.geneontology.org/formats/oboInOwl#"
+OIO_HASEXACTSYN = _OIO + "hasExactSynonym"
+OIO_HASBROADSYN = _OIO + "hasBroadSynonym"
+OIO_HASNARROWSYN = _OIO + "hasNarrowSynonym"
+OIO_HASRELATEDSYN = _OIO + "hasRelatedSynonym"
+OIO_HASDBXREF = _OIO + "hasDbXref"
+OIO_NAMESPACE = _OIO + "hasOBONamespace"
+OIO_ALT_ID = _OIO + "hasAlternativeId"
+OIO_IN_SUBSET = _OIO + "inSubset"
+OIO_CREATED_BY = _OIO + "created_by"
+OIO_CREATION_DATE = _OIO + "creationDate"
+OIO_CONSIDER = _OIO + "consider"
+OIO_DEFAULT_NAMESPACE = _OIO + "hasDefaultNamespace"
 RDFS_COMMENT = "http://www.w3.org/2000/01/rdf-schema#comment"
 
-_SYN_PRED = {"EXACT": OIO_HASEXACTSYN}
+_SYN_PRED = {"EXACT": OIO_HASEXACTSYN, "BROAD": OIO_HASBROADSYN,
+             "NARROW": OIO_HASNARROWSYN, "RELATED": OIO_HASRELATEDSYN}
+
+#: Typedef boolean characteristic tag -> owl property class
+#: (obo_io.py stanza tags is_transitive/is_symmetric/... :779-817)
+_CHARACTERISTICS = {
+    "is_transitive": OWL + "TransitiveProperty",
+    "is_symmetric": OWL + "SymmetricProperty",
+    "is_functional": OWL + "FunctionalProperty",
+    "is_inverse_functional": OWL + "InverseFunctionalProperty",
+    "is_reflexive": OWL + "ReflexiveProperty",
+    "is_anti_symmetric": OWL + "AsymmetricProperty",
+}
+
+
+def _unesc(s: str) -> str:
+    return re.sub(r"\\(.)", r"\1", s)
+
+
+def _clean_id(v: str) -> str:
+    return id_fix(v.split("!")[0].strip())
 
 
 def stanza_triples(stanza: dict):
-    """One stanza -> (subj, pred, obj, is_literal) rows
-    (Term.triples semantics, obo_io.py:483-)."""
+    """One stanza -> (subj, pred, obj, is_literal) rows — the obo->owl
+    tag mapping of the reference's stanza model (``obo_io.py:750-817``
+    tag list; ``Term.triples`` emission) over the full OBO 1.4 tag set:
+    definitions, scoped synonyms, xref/alt_id/subset, is_a/relationship,
+    union_of/disjoint_from/equivalent_to, typedef characteristics +
+    domain/range/inverse_of, obsolescence with replaced_by/consider,
+    created_by/creation_date.
+
+    Simplification (documented divergence): ``relationship: R T`` and
+    ``intersection_of`` emit direct ``(subj, R, T)`` edges rather than
+    existential-restriction subgraphs — the restriction form is
+    available by feeding these rows to
+    ``operators.combinators.emit_restrictions``."""
     ids = stanza.get("id")
     if not ids:
         return
@@ -94,32 +144,104 @@ def stanza_triples(stanza: dict):
     for d in stanza.get("def", []):
         m = _DEF.match(d)
         if m:
-            yield (subj, IAO_DEFINITION, m.group(1), True)
+            yield (subj, IAO_DEFINITION, _unesc(m.group(1)), True)
     for s in stanza.get("synonym", []):
         m = _SYN.match(s)
         if m:
             pred = _SYN_PRED.get(m.group(2), OIO_HASRELATEDSYN)
-            yield (subj, pred, m.group(1), True)
+            yield (subj, pred, _unesc(m.group(1)), True)
+    sub_pred = RDFS_SUBPROPERTYOF if stype == "Typedef" else RDFS_SUBCLASSOF
     for parent in stanza.get("is_a", []):
-        yield (subj, RDFS_SUBCLASSOF, id_fix(parent.split("!")[0].strip()),
-               False)
+        yield (subj, sub_pred, _clean_id(parent), False)
+    for rel in stanza.get("relationship", []):
+        parts = rel.split("!")[0].split()
+        if len(parts) >= 2:
+            yield (subj, id_fix(parts[0]), id_fix(parts[1]), False)
+    for rel in stanza.get("intersection_of", []):
+        parts = rel.split("!")[0].split()
+        if len(parts) == 1:
+            yield (subj, RDFS_SUBCLASSOF, id_fix(parts[0]), False)
+        elif len(parts) >= 2:
+            yield (subj, id_fix(parts[0]), id_fix(parts[1]), False)
+    for v in stanza.get("union_of", []):
+        yield (subj, OWL_EQUIVALENT_CLASS, _clean_id(v), False)
+    for v in stanza.get("equivalent_to", []):
+        yield (subj, OWL_EQUIVALENT_CLASS, _clean_id(v), False)
+    for v in stanza.get("disjoint_from", []):
+        yield (subj, OWL_DISJOINT_WITH, _clean_id(v), False)
     for x in stanza.get("xref", []):
         yield (subj, OIO_HASDBXREF, x, True)
+    for v in stanza.get("alt_id", []):
+        yield (subj, OIO_ALT_ID, v, True)
+    for v in stanza.get("subset", []):
+        yield (subj, OIO_IN_SUBSET, _clean_id(v), False)
+    for pv in stanza.get("property_value", []):
+        parts = pv.split("!")[0].split(None, 1)
+        if len(parts) == 2:
+            val = parts[1].strip()
+            if val.startswith('"'):
+                m = _DEF.match(val)
+                if m:
+                    yield (subj, id_fix(parts[0]), _unesc(m.group(1)), True)
+            else:
+                yield (subj, id_fix(parts[0]), id_fix(val.split()[0]), False)
     for ns in stanza.get("namespace", [])[:1]:
         yield (subj, OIO_NAMESPACE, ns, True)
     for c in stanza.get("comment", [])[:1]:
         yield (subj, RDFS_COMMENT, c, True)
+    for v in stanza.get("created_by", [])[:1]:
+        yield (subj, OIO_CREATED_BY, v, True)
+    for v in stanza.get("creation_date", [])[:1]:
+        yield (subj, OIO_CREATION_DATE, v, True)
+    if stype == "Typedef":
+        for tag, cls in _CHARACTERISTICS.items():
+            if stanza.get(tag, ["false"])[0] == "true":
+                yield (subj, RDF_TYPE, cls, False)
+        for v in stanza.get("inverse_of", [])[:1]:
+            yield (subj, OWL_INVERSE_OF, _clean_id(v), False)
+        for v in stanza.get("domain", [])[:1]:
+            yield (subj, RDFS_DOMAIN, _clean_id(v), False)
+        for v in stanza.get("range", [])[:1]:
+            yield (subj, RDFS_RANGE, _clean_id(v), False)
     if stanza.get("is_obsolete", ["false"])[0] == "true":
         yield (subj, OWL_DEPRECATED, "true", True)
         for r in stanza.get("replaced_by", []):
             yield (subj, IAO_REPLACED_BY, id_fix(r), False)
+        for r in stanza.get("consider", []):
+            yield (subj, OIO_CONSIDER, id_fix(r), False)
+
+
+def header_triples(header: dict):
+    """OBO header -> ontology-level triples (Header tag table,
+    ``obo_io.py:702-749``): ontology IRI, imports, version info,
+    default namespace, remarks."""
+    onts = header.get("ontology", [])
+    if not onts:
+        return
+    ont_iri = f"{OBO_PURL}{onts[0]}.owl"
+    yield (ont_iri, RDF_TYPE, OWL_ONTOLOGY, False)
+    for v in header.get("import", []):
+        yield (ont_iri, OWL_IMPORTS,
+               v if v.startswith("http") else id_fix(v), False)
+    for v in header.get("data-version", [])[:1]:
+        yield (ont_iri, OWL_VERSION_INFO, v, True)
+    for v in header.get("default-namespace", [])[:1]:
+        yield (ont_iri, OIO_DEFAULT_NAMESPACE, v, True)
+    for v in header.get("remark", []):
+        yield (ont_iri, RDFS_COMMENT, v, True)
 
 
 def format_obo_stanza(stanza: dict) -> str:
     """Inverse of parse for round-trip tests (obo write path,
     obo_io.py:191-214): tags in a fixed canonical order."""
-    order = ["id", "name", "namespace", "def", "comment", "subset",
-             "synonym", "xref", "is_a", "is_obsolete", "replaced_by"]
+    order = ["id", "name", "namespace", "alt_id", "def", "comment",
+             "subset", "synonym", "xref", "property_value",
+             "domain", "range", "is_anti_symmetric", "is_functional",
+             "is_inverse_functional", "is_reflexive", "is_symmetric",
+             "is_transitive", "is_a", "intersection_of", "union_of",
+             "equivalent_to", "disjoint_from", "inverse_of",
+             "relationship", "is_obsolete", "replaced_by", "consider",
+             "created_by", "creation_date"]
     lines = [f"[{stanza.get('type', 'Term')}]"]
     for tag in order:
         for v in stanza.get(tag, []):

@@ -90,14 +90,53 @@ def with_rank_columns(triples: DataFrame) -> DataFrame:
                 "obj", "obj_is_literal", "obj_datatype", "obj_lang")))
 
 
+#: the reference's topClasses list (serializers.py:162-173) — subjects
+#: are emitted in type sections in THIS order, then the remainder.
+TOP_CLASSES = [
+    "http://www.w3.org/2002/07/owl#Ontology",
+    "http://www.w3.org/1999/02/22-rdf-syntax-ns#Property",
+    "http://www.w3.org/2000/01/rdf-schema#Class",
+    "http://www.w3.org/2002/07/owl#ObjectProperty",
+    "http://www.w3.org/2000/01/rdf-schema#Datatype",
+    "http://www.w3.org/2002/07/owl#AnnotationProperty",
+    "http://www.w3.org/2002/07/owl#DatatypeProperty",
+    "http://www.w3.org/2002/07/owl#Class",
+    "http://www.w3.org/2002/07/owl#NamedIndividual",
+    "http://www.w3.org/2002/07/owl#AllDifferent",
+]
+
+
+def subject_sections(triples: DataFrame) -> DataFrame:
+    """(subj, section) — section = index of the FIRST topClasses entry
+    the subject is typed as (``orderSubjects``' seen-dedup across
+    sections, serializers.py:492-512); untyped / non-top subjects get
+    the remainder section.  One aggregate over the rdf:type rows —
+    broadcast-joinable (distinct subjects of top types are tiny relative
+    to the triple table)."""
+    sec_map = F.create_map(*[
+        F.lit(x) for i, c in enumerate(TOP_CLASSES) for x in (c, i)])
+    typed = (triples
+             .filter((F.col("pred") == vocab.RDF_TYPE)
+                     & F.col("obj").isin(TOP_CLASSES))
+             .groupBy("subj")
+             .agg(F.min(sec_map[F.col("obj")]).alias("section")))
+    return typed
+
+
 def canonical_order(triples: DataFrame) -> DataFrame:
     """Globally ordered triple table (range-partitioned sort — Spark's
-    orderBy samples ranges, so this scales; output order is the
-    deterministic (subj, pred, obj) rank order)."""
+    orderBy samples ranges, so this scales): subjects in topClasses
+    type sections first (orderSubjects semantics), then deterministic
+    (subj, pred, obj) rank order within."""
+    secs = subject_sections(triples)
+    n_sections = len(TOP_CLASSES)
     return (with_rank_columns(triples)
-            .orderBy("subj_rank", "pred_rank", "obj_rank", "subj", "pred",
-                     "obj")
-            .drop("subj_rank", "pred_rank", "obj_rank"))
+            .join(F.broadcast(secs), "subj", "left")
+            .withColumn("section",
+                        F.coalesce("section", F.lit(n_sections)))
+            .orderBy("section", "subj_rank", "pred_rank", "obj_rank",
+                     "subj", "pred", "obj")
+            .drop("subj_rank", "pred_rank", "obj_rank", "section"))
 
 
 # ---------------------------------------------------------------------------

@@ -238,3 +238,36 @@ def test_materialize_inverses(spark):
     assert ("http://e/piece", part_of, "http://e/whole") in got
     # non-inverse predicates and literal objects pass through unpaired
     assert len(got) == 4
+
+
+def test_subject_sections_and_sectioned_order(spark):
+    """orderSubjects semantics (serializers.py:492-512): ontology
+    header first, properties before classes, first-matching topClass
+    wins, untyped subjects in the remainder."""
+    from pyontutils_spark.operators import vocab
+    from pyontutils_spark.operators.ordering import (
+        TOP_CLASSES, canonical_order, subject_sections)
+    owl = "http://www.w3.org/2002/07/owl#"
+    rows = [
+        ("http://e/zclass", vocab.RDF_TYPE, owl + "Class", False, None, None),
+        ("http://e/ont", vocab.RDF_TYPE, owl + "Ontology", False, None, None),
+        ("http://e/prop", vocab.RDF_TYPE, owl + "ObjectProperty",
+         False, None, None),
+        # typed as BOTH ObjectProperty (idx 3) and Class (idx 7):
+        # first match (3) wins
+        ("http://e/both", vocab.RDF_TYPE, owl + "Class", False, None, None),
+        ("http://e/both", vocab.RDF_TYPE, owl + "ObjectProperty",
+         False, None, None),
+        ("http://e/untyped", "http://p/p", "v", True, None, None),
+    ]
+    t = spark.createDataFrame(rows, vocab.TRIPLE_SCHEMA)
+    secs = {r.subj: r.section for r in subject_sections(t).collect()}
+    assert secs["http://e/ont"] == 0
+    assert secs["http://e/prop"] == 3 and secs["http://e/both"] == 3
+    assert secs["http://e/zclass"] == TOP_CLASSES.index(owl + "Class")
+    assert "http://e/untyped" not in secs  # remainder handled in order
+    subj_seq = [r.subj for r in canonical_order(t).collect()]
+    first_pos = {s: subj_seq.index(s) for s in set(subj_seq)}
+    assert first_pos["http://e/ont"] < first_pos["http://e/prop"]
+    assert first_pos["http://e/prop"] < first_pos["http://e/zclass"]
+    assert first_pos["http://e/zclass"] < first_pos["http://e/untyped"]

@@ -123,3 +123,105 @@ def test_obo_format_roundtrip():
     assert re1["id"] == ["GO:0000001"]
     assert re1["is_a"] == ["GO:0048308"]
     assert re1 == {k: v for k, v in doc["stanzas"][0].items()}
+
+
+OBO_FULL = """format-version: 1.2
+ontology: go
+data-version: releases/2024-01-01
+default-namespace: gene_ontology
+import: http://purl.obolibrary.org/obo/ro.owl
+remark: test remark
+
+[Term]
+id: GO:0000001
+name: mito inheritance
+alt_id: GO:9999999
+def: "The dist of mito \\"quoted\\"" [GOC:mcc]
+subset: goslim_yeast
+synonym: "mitochondrial inheritance" EXACT []
+synonym: "broad syn" BROAD []
+synonym: "narrow syn" NARROW []
+xref: Reactome:R-HSA-123
+is_a: GO:0048308 ! parent comment
+relationship: part_of GO:0048311
+intersection_of: GO:0048308
+intersection_of: part_of GO:0048311
+disjoint_from: GO:0000002
+property_value: IAO:0000412 "some literal"
+created_by: jdoe
+creation_date: 2024-01-01T00:00:00Z
+
+[Term]
+id: GO:0000002
+name: dead term
+is_obsolete: true
+replaced_by: GO:0000003
+consider: GO:0000004
+
+[Typedef]
+id: part_of
+name: part of
+is_transitive: true
+inverse_of: has_part
+domain: GO:0000001
+range: GO:0000002
+"""
+
+
+def test_obo_full_tagset_triples():
+    from pyontutils_spark.kernel import obo as O
+    doc = O.parse_obo(OBO_FULL)
+    hdr = list(O.header_triples(doc["header"]))
+    ont = "http://purl.obolibrary.org/obo/go.owl"
+    assert (ont, O.RDF_TYPE, O.OWL_ONTOLOGY, False) in hdr
+    assert (ont, O.OWL_IMPORTS,
+            "http://purl.obolibrary.org/obo/ro.owl", False) in hdr
+    assert (ont, O.OWL_VERSION_INFO, "releases/2024-01-01", True) in hdr
+    assert (ont, O.OIO_DEFAULT_NAMESPACE, "gene_ontology", True) in hdr
+    assert (ont, O.RDFS_COMMENT, "test remark", True) in hdr
+
+    by_stanza = {s["id"][0]: set(O.stanza_triples(s))
+                 for s in doc["stanzas"]}
+    g1 = "http://purl.obolibrary.org/obo/GO_0000001"
+    t1 = by_stanza["GO:0000001"]
+    assert (g1, O.OIO_ALT_ID, "GO:9999999", True) in t1
+    assert (g1, O.IAO_DEFINITION, 'The dist of mito "quoted"', True) in t1
+    assert (g1, O.OIO_IN_SUBSET,
+            "http://purl.obolibrary.org/obo/goslim_yeast", False) in t1
+    assert (g1, O.OIO_HASEXACTSYN, "mitochondrial inheritance", True) in t1
+    assert (g1, O.OIO_HASBROADSYN, "broad syn", True) in t1
+    assert (g1, O.OIO_HASNARROWSYN, "narrow syn", True) in t1
+    assert (g1, O.RDFS_SUBCLASSOF,
+            "http://purl.obolibrary.org/obo/GO_0048308", False) in t1
+    assert (g1, "http://purl.obolibrary.org/obo/part_of",
+            "http://purl.obolibrary.org/obo/GO_0048311", False) in t1
+    assert (g1, O.OWL_DISJOINT_WITH,
+            "http://purl.obolibrary.org/obo/GO_0000002", False) in t1
+    assert (g1, "http://purl.obolibrary.org/obo/IAO_0000412",
+            "some literal", True) in t1
+    assert (g1, O.OIO_CREATED_BY, "jdoe", True) in t1
+
+    t2 = by_stanza["GO:0000002"]
+    assert (("http://purl.obolibrary.org/obo/GO_0000002",
+             O.OWL_DEPRECATED, "true", True)) in t2
+    assert (("http://purl.obolibrary.org/obo/GO_0000002", O.OIO_CONSIDER,
+             "http://purl.obolibrary.org/obo/GO_0000004", False)) in t2
+
+    tp = by_stanza["part_of"]
+    po = "http://purl.obolibrary.org/obo/part_of"
+    assert (po, O.RDF_TYPE, O.OWL_OBJPROP, False) in tp
+    assert (po, O.RDF_TYPE, O.OWL + "TransitiveProperty", False) in tp
+    assert (po, O.OWL_INVERSE_OF,
+            "http://purl.obolibrary.org/obo/has_part", False) in tp
+    assert (po, O.RDFS_DOMAIN,
+            "http://purl.obolibrary.org/obo/GO_0000001", False) in tp
+
+
+def test_obo_full_roundtrip_stable():
+    from pyontutils_spark.kernel import obo as O
+    doc = O.parse_obo(OBO_FULL)
+    text2 = "\n".join(O.format_obo_stanza(s) for s in doc["stanzas"])
+    doc2 = O.parse_obo(text2)
+    t1 = [set(O.stanza_triples(s)) for s in doc["stanzas"]]
+    t2 = [set(O.stanza_triples(s)) for s in doc2["stanzas"]]
+    assert t1 == t2
