@@ -487,6 +487,73 @@ def _q_inverse_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_inverses(t).select("subj", "pred", "obj")
 
 
+# restriction / axiom fixtures
+R_SPECS = [("http://e/neuron", "http://p/hasPart", "http://e/soma"),
+           ("http://e/neuron", "http://p/hasPart", "http://e/axon"),
+           ("http://e/cell", "http://p/locatedIn", "http://e/brain")]
+_R_VALUES = ", ".join(f"('{s}', '{p}', '{f}')" for s, p, f in R_SPECS)
+AX_ROWS = [("http://e/s", "http://p/p", "http://e/o",
+            "http://p/evidence", "strong"),
+           ("http://e/s2", "http://p/p", "http://e/o2",
+            "http://p/source", "pmid:1")]
+_AX_VALUES = ", ".join(f"('{s}', '{p}', '{o}', '{ap}', '{av}')"
+                       for s, p, o, ap, av in AX_ROWS)
+
+
+def _q_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop upward neighborhood from a seed (getNeighbors depth
+    semantics); depth = first-visit distance."""
+    from pyontutils_spark.operators.hierarchy import khop_neighborhood
+    edges = spark.createDataFrame(EDGE_ROWS, "child string, parent string")
+    seeds = spark.createDataFrame([("e1",)], "node string")
+    return khop_neighborhood(edges, seeds, depth=2, direction="up")
+
+
+def _q_subtree_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure size per ancestor (tcsort)."""
+    from pyontutils_spark.operators.hierarchy import subtree_sizes
+    edges = spark.createDataFrame(EDGE_ROWS, "child string, parent string")
+    return subtree_sizes(edges)
+
+
+def _q_uri_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URI occurrence counts with the CompactTurtleSerializer
+    compactable filter (count>2, len>10; serializers.py:840-848),
+    over the emitted triples."""
+    from pyontutils_spark.operators.filters import uri_frequency
+    t = _q_triples_emit(spark, sf_dir) \
+        .withColumn("obj_is_literal", F.col("pred") == vocab.RDFS_LABEL) \
+        .withColumn("obj_datatype", F.lit(None).cast("string"))
+    return uri_frequency(t).withColumnRenamed("count", "n")
+
+
+def _q_restriction_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL restriction emission (4 skolem-anchored triples per spec);
+    oracle recomputes the skolem nodes with DuckDB sha256."""
+    from pyontutils_spark.operators.combinators import emit_restrictions
+    specs = spark.createDataFrame(R_SPECS,
+                                  "subj string, prop string, filler string")
+    return emit_restrictions(specs).select("subj", "pred", "obj")
+
+
+def _q_axiom_reification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:Axiom annotation reification (6 triples per annotated
+    axiom, test_core.py:5-21 golden count); sha256-computed oracle."""
+    from pyontutils_spark.operators.combinators import annotate_axioms
+    ax = spark.createDataFrame(
+        AX_ROWS, "subj string, pred string, obj string, ann_pred string, "
+        "ann_value string")
+    return annotate_axioms(ax).select("subj", "pred", "obj")
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: min portable h32 over 8-char
+    shingles of the lowercased text."""
+    from pyontutils_spark.operators.textstats import fingerprint
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "curie_expand": _q_curie_expand,
@@ -517,6 +584,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_list": _q_predicate_list,
         "turtle_roundtrip": _q_turtle_roundtrip,
         "inverse_pairing": _q_inverse_pairing,
+        "khop": _q_khop,
+        "subtree_sizes": _q_subtree_sizes,
+        "uri_frequency": _q_uri_frequency,
+        "restriction_emit": _q_restriction_emit,
+        "axiom_reification": _q_axiom_reification,
+        "fingerprint": _q_fingerprint,
     }
 
 
@@ -889,6 +962,80 @@ def oracle_sql() -> dict[str, str]:
           FROM t
           WHERE NOT lit AND pred IN ('{_HAS_PART}', '{_PART_OF}')
         ) u
+        """
+
+    sqls["khop"] = f"""
+        WITH RECURSIVE walk(node, d) AS (
+          SELECT 'e1', 0
+          UNION ALL
+          SELECT e.parent, w.d + 1
+          FROM walk w JOIN {_EDGE_SQL.replace("AS edges", "AS e")}
+            ON w.node = e.child
+          WHERE w.d < 2
+        )
+        SELECT node, min(d) AS depth FROM walk GROUP BY node
+        """
+
+    sqls["subtree_sizes"] = f"""
+        WITH RECURSIVE tc(node, anc) AS (
+          SELECT child, parent FROM {_EDGE_SQL}
+          UNION
+          SELECT tc.node, e.parent
+          FROM tc JOIN {_EDGE_SQL.replace("AS edges", "AS e")}
+            ON tc.anc = e.child
+        )
+        SELECT anc AS ancestor, count(DISTINCT node) AS tc_size
+        FROM tc GROUP BY anc
+        """
+
+    sqls["uri_frequency"] = f"""
+        WITH t AS ({sqls["triples_emit"]}),
+        u(uri) AS (
+          SELECT subj FROM t
+          UNION ALL SELECT pred FROM t
+          UNION ALL SELECT obj FROM t WHERE pred = '{vocab.IS_ABOUT}'
+        )
+        SELECT uri, count(*) AS n FROM u
+        WHERE starts_with(uri, 'http')
+        GROUP BY uri HAVING count(*) >= 3 AND len(uri) >= 11
+        """
+
+    _rsk = (_sk.format(x="concat_ws(chr(31), 'restriction', subj, "
+                         f"'{vocab.RDFS_SUBCLASSOF}', prop, filler)"))
+    _OWL = "http://www.w3.org/2002/07/owl#"
+    sqls["restriction_emit"] = f"""
+        WITH specs(subj, prop, filler) AS (VALUES {_R_VALUES}),
+        sk AS (SELECT subj, prop, filler, {_rsk} AS node FROM specs)
+        SELECT subj, '{vocab.RDFS_SUBCLASSOF}' AS pred, node AS obj FROM sk
+        UNION ALL
+        SELECT node, '{vocab.RDF_TYPE}', '{_OWL}Restriction' FROM sk
+        UNION ALL
+        SELECT node, '{_OWL}onProperty', prop FROM sk
+        UNION ALL
+        SELECT node, '{_OWL}someValuesFrom', filler FROM sk
+        """
+
+    _ask = (_sk.format(x="concat_ws(chr(31), 'axiom', subj, pred, obj, "
+                         "ann_pred, ann_value)"))
+    sqls["axiom_reification"] = f"""
+        WITH ax(subj, pred, obj, ann_pred, ann_value) AS
+          (VALUES {_AX_VALUES}),
+        sk AS (SELECT *, {_ask} AS node FROM ax)
+        SELECT subj, pred, obj FROM sk
+        UNION ALL SELECT node, '{vocab.RDF_TYPE}', '{_OWL}Axiom' FROM sk
+        UNION ALL SELECT node, '{_OWL}annotatedSource', subj FROM sk
+        UNION ALL SELECT node, '{_OWL}annotatedProperty', pred FROM sk
+        UNION ALL SELECT node, '{_OWL}annotatedTarget', obj FROM sk
+        UNION ALL SELECT node, ann_pred, ann_value FROM sk
+        """
+
+    sqls["fingerprint"] = f"""
+        SELECT doc_id,
+               list_min(list_transform(
+                 generate_series(1, greatest(len(lower(text)) - 7, 1)),
+                 i -> {_H32_SQL.format(x="substr(lower(text), i::int, 8)")}
+               )) AS fp
+        FROM documents
         """
 
     sqls["embedding_topk"] = """
