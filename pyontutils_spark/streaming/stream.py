@@ -65,6 +65,46 @@ def read_stream_triples(spark: SparkSession, out_dir: str) -> DataFrame:
             .parquet(out_dir).distinct())
 
 
+def stream_first_seen(pages: DataFrame, text_col: str = "text",
+                      id_col: str = "url") -> DataFrame:
+    """Custom stateful streaming operator: cross-batch exact dedup.
+
+    Emits one row per content digest the FIRST time that digest is seen
+    anywhere in the stream; later occurrences (same batch or any later
+    micro-batch) are dropped.  State = one boolean per digest key via
+    ``applyInPandasWithState`` — the engine's streaming analog of
+    ``exact_dedup_groups``, and the pattern slot for any custom
+    stateful operator Spark lacks built-in.
+
+    Scale: state is hash-partitioned by digest across executors and
+    checkpointed with the query; memory per executor is O(distinct
+    digests / partitions) booleans."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = (pages
+             .withColumn("digest", F.md5(F.col(text_col)))
+             .select("digest", id_col)
+             .groupBy("digest"))
+
+    def first_seen(key, pdfs, state):
+        first_id = None
+        for pdf in pdfs:
+            if first_id is None and len(pdf):
+                first_id = pdf[id_col].iloc[0]
+        if state.exists or first_id is None:
+            return  # digest already emitted in an earlier batch
+        state.update((True,))
+        yield pd.DataFrame({"digest": [key[0]], id_col: [first_id]})
+
+    return keyed.applyInPandasWithState(
+        first_seen,
+        outputStructType=f"digest string, {id_col} string",
+        stateStructType="seen boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+
+
 def mention_rate(spark: SparkSession, input_path: str,
                  lexicon: list[dict], window: str = "1 hour",
                  watermark: str = "2 hours") -> DataFrame:

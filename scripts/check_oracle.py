@@ -51,6 +51,19 @@ def run():
             if name not in oracles:
                 print(f"  {name}: rows={len(srows)} (no oracle — rows-only)")
                 continue
+            # dtype guard: the driver fetches DuckDB results via pandas
+            # and hashes dtype-sensitively — a HUGEINT (int128) column
+            # (e.g. sum(BIGINT)) becomes float64 there and hash-fails
+            # against Spark's int64 even when values are equal.  Catch
+            # that class here, where it's cheap to see.
+            rel = con.sql(oracles[name])
+            bad = [c for c, t in zip(rel.columns, rel.types)
+                   if str(t).upper() in ("HUGEINT", "UHUGEINT")]
+            if bad:
+                failures.append(name)
+                print(f"  {name}: DTYPE-FAIL oracle columns {bad} are "
+                      "HUGEINT (cast the aggregate ::bigint)")
+                continue
             ores = con.execute(oracles[name])
             ocols_raw = [d[0] for d in ores.description]
             ocols = sorted(ocols_raw)

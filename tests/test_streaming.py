@@ -82,3 +82,34 @@ def test_mention_rate_windowed(spark, input_dir, tmp_path):
                for s, e, _, pat in p_["mentions"]
                if link_pattern(pat, idx) is not None)
     assert total == want
+
+
+def test_stream_first_seen_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: duplicated texts
+    across micro-batches emit exactly one row per digest, equal to the
+    batch-distinct set."""
+    import pyspark.sql.functions as SF
+    from pyontutils_spark.streaming.stream import (
+        read_pages_stream, stream_first_seen)
+
+    d = str(tmp_path / "dup_pages")
+    base = pages_df_local(spark, PAGES[:30])
+    dup = base.withColumn("url", SF.concat(SF.col("url"), SF.lit("?dup")))
+    # two files with identical text payloads -> >=2 micro-batches at
+    # maxFilesPerTrigger=1, duplicates across batches
+    base.coalesce(1).write.mode("overwrite").parquet(d)
+    dup.coalesce(1).write.mode("append").parquet(d)
+
+    stream = read_pages_stream(spark, d, max_files_per_trigger=1)
+    out = stream_first_seen(stream)
+    q = (out.writeStream.outputMode("update")
+         .format("memory").queryName("first_seen_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt_fs"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from first_seen_out").collect()
+    digests = [r.digest for r in rows]
+    assert len(digests) == len(set(digests))  # one row per digest, ever
+    n_batch_distinct = (pages_df_local(spark, PAGES[:30])
+                        .select(SF.md5("text")).distinct().count())
+    assert len(digests) == n_batch_distinct
