@@ -554,6 +554,19 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def _q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup verify (exact, id-bounded — at scale
+    the pairs come from lsh/ivf blocking); threshold 0.3 — the synth
+    embeddings are near-orthogonal, so 0.3 marks the close-pair tail."""
+    from pyontutils_spark.operators.simsearch import cosine_near_dup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 60)
+    out = cosine_near_dup_pairs(emb, threshold=0.3)
+    return out.select("id_a", "id_b",
+                      F.round(F.col("cosine") * 10_000).cast("long")
+                      .alias("cosine_e4"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "curie_expand": _q_curie_expand,
@@ -590,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "restriction_emit": _q_restriction_emit,
         "axiom_reification": _q_axiom_reification,
         "fingerprint": _q_fingerprint,
+        "cosine_near_dup": _q_cosine_near_dup,
     }
 
 
@@ -1036,6 +1050,18 @@ def oracle_sql() -> dict[str, str]:
                  i -> {_H32_SQL.format(x="substr(lower(text), i::int, 8)")}
                )) AS fp
         FROM documents
+        """
+
+    sqls["cosine_near_dup"] = """
+        WITH e AS (
+          SELECT vec_id, embedding::double[] AS v FROM embeddings
+          WHERE vec_id < 60
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v) * 10000)::bigint
+                 AS cosine_e4
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.3
         """
 
     sqls["embedding_topk"] = """

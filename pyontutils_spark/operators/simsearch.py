@@ -51,6 +51,23 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
+def cosine_near_dup_pairs(vectors: DataFrame, threshold: float = 0.9,
+                          id_col: str = "vec_id",
+                          vec: str = "embedding") -> DataFrame:
+    """Exact cosine near-duplicate verify: (id_a, id_b, cosine) for all
+    pairs with cosine >= threshold.  This is the VERIFY primitive — at
+    scale feed it candidate pairs from lsh/ivf blocking instead of the
+    self-join (the same prune-then-verify split as jaccard_verify)."""
+    a = vectors.select(F.col(id_col).alias("id_a"),
+                       F.col(vec).cast("array<double>").alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"),
+                       F.col(vec).cast("array<double>").alias("vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
 def _planes(dim: int, n_planes: int, table: int) -> np.ndarray:
     """Deterministic hyperplanes: seeded per (table) — same on every
     executor, no broadcast needed beyond the closure."""
@@ -77,6 +94,59 @@ def lsh_signatures(df: DataFrame, dim: int, n_planes: int = 12,
         return pd.Series(list(stacked))
 
     return df.withColumn(out, sig(F.col(vec).cast("array<double>")))
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
+             n_cells: int = 16, nprobe: int = 4,
+             q_id: str = "q_id", c_id: str = "vec_id",
+             vec: str = "embedding", seed: int = 7) -> DataFrame:
+    """IVF (inverted-file) ANN: deterministic KMeans cells + nprobe
+    search — the second scale path next to lsh_topk.
+
+    - **Index**: corpus assigned to ``n_cells`` KMeans cells
+      (``pyspark.ml``, seeded -> deterministic).  At scale, fit on a
+      sample and persist ``assigned`` partitioned by cell so a probe
+      prunes partitions at the scan.
+    - **Search**: each query probes its ``nprobe`` nearest centroids
+      (centroid table is tiny -> computed driver-side), candidates are
+      the union of those cells, reranked by exact cosine; top-k per
+      query.  ``nprobe == n_cells`` degenerates to exact search.
+
+    Queries are a small table by contract (like cosine_topk's broadcast
+    side); the corpus never leaves the executors."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c_base = corpus.select(F.col(c_id).alias("c_id"),
+                           F.col(vec).cast("array<double>").alias("cv"))
+    feats = c_base.withColumn("features", array_to_vector("cv"))
+    model = KMeans(k=n_cells, seed=seed).fit(feats)
+    assigned = (model.transform(feats)
+                .select("c_id", "cv", F.col("prediction").alias("cell")))
+    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    # cosine-probe the centroid table (tiny) on the driver
+    cn = centers / np.maximum(
+        np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
+    q_rows = queries.select(F.col(q_id).alias("q_id"),
+                            F.col(vec).cast("array<double>").alias("qv")) \
+        .collect()
+    probes = []
+    for r in q_rows:
+        qv = np.asarray(r.qv)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        order = np.argsort(-(cn @ qn))
+        for cell in order[:nprobe]:
+            probes.append((r.q_id, list(r.qv), int(cell)))
+    spark = queries.sparkSession
+    probe_df = spark.createDataFrame(
+        probes, "q_id long, qv array<double>, cell int")
+    cand = assigned.join(F.broadcast(probe_df), "cell")
+    scored = (cand.withColumn("cosine", cosine_sim(F.col("qv"),
+                                                   F.col("cv")))
+              .select("q_id", F.col("c_id").alias(c_id), "cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col(c_id))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
 
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,

@@ -221,3 +221,37 @@ def test_multimodal_decode_stub_for_compressed():
         decode_image(b"\x89PNG\r\n\x1a\n")
     with pytest.raises(ValueError):
         decode_image(b"GIBBERISH")
+
+
+def test_ivf_topk_recall_and_full_probe_exact(spark, emb):
+    from pyontutils_spark.operators.simsearch import ivf_topk
+    queries = emb.limit(5).select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = {(r.q_id, r.vec_id) for r in
+             cosine_topk(queries, emb, k=5).collect()}
+    # nprobe == n_cells degenerates to exhaustive search -> exact result
+    full = {(r.q_id, r.vec_id) for r in
+            ivf_topk(queries, emb, dim=64, k=5, n_cells=8,
+                     nprobe=8).collect()}
+    assert full == exact
+    # pruned probe keeps most of the true top-k
+    approx = {(r.q_id, r.vec_id) for r in
+              ivf_topk(queries, emb, dim=64, k=5, n_cells=8,
+                       nprobe=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+    # deterministic (seeded kmeans)
+    again = {(r.q_id, r.vec_id) for r in
+             ivf_topk(queries, emb, dim=64, k=5, n_cells=8,
+                      nprobe=3).collect()}
+    assert again == approx
+
+
+def test_cosine_near_dup_pairs(spark):
+    from pyontutils_spark.operators.simsearch import cosine_near_dup_pairs
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.04, 0.0]),
+            (3, [0.0, 1.0, 0.0]), (4, [1.0, 0.001, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r.id_a, r.id_b) for r in
+             cosine_near_dup_pairs(df, threshold=0.99).collect()}
+    assert (1, 2) in pairs and (1, 4) in pairs and (2, 4) in pairs
+    assert all(3 not in p for p in pairs)
