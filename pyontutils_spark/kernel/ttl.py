@@ -50,7 +50,7 @@ _TOKEN = re.compile(
       | (?P<dq>"(?:[^"\\\n]|\\.)*")
       | (?P<sq>'(?:[^'\\\n]|\\.)*')
       | (?P<iri><[^<>"{}|^`\\\x00-\x20]*>)
-      | (?P<decl>@prefix\b|@base\b|(?i:PREFIX)\ |(?i:BASE)\ )
+      | (?P<decl>@prefix\b|@base\b|(?i:PREFIX)(?=\s)|(?i:BASE)(?=\s))
       | (?P<lang>@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*)
       | (?P<dt>\^\^)
       | (?P<bnode>_:[A-Za-z0-9_][A-Za-z0-9_.\-]*)

@@ -242,3 +242,16 @@ def test_read_rdf_all_formats_one_triple_set(spark, tmp_path):
     fb = {(r.subj, r.pred, r.obj) for r in
           read_rdf(spark, str(noext)).collect()}
     assert norm(fb) == norm(xml_got)
+
+
+def test_sparql_style_decl_whitespace_and_empty_prefix():
+    """PREFIX/BASE followed by tab/newline (any whitespace) and the
+    empty-prefix form ':local' are valid Turtle."""
+    ts = parse_turtle(
+        "PREFIX\tex: <http://e/>\nBASE\n<http://b/>\nex:a ex:p <rel> .",
+        "d")
+    assert ts == [("http://e/a", "http://e/p", "http://b/rel",
+                   False, None, None)]
+    ts2 = parse_turtle("@prefix : <http://d/> .\n:a :p :o .", "d")
+    assert ts2 == [("http://d/a", "http://d/p", "http://d/o",
+                    False, None, None)]
