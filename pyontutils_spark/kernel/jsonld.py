@@ -25,7 +25,7 @@ RDF_REST = RDF_NS + "rest"
 RDF_NIL = RDF_NS + "nil"
 XSD_NS = "http://www.w3.org/2001/XMLSchema#"
 
-_SKOLEM_NS = "http://uri.interlex.org/temp/uris/skolem/"
+from .ids import SKOLEM_NS as _SKOLEM_NS
 _KEYWORDS = {"@id", "@type", "@value", "@language", "@list", "@graph",
              "@context"}
 
@@ -75,7 +75,11 @@ class _Parser:
     def _expand(self, term: str) -> str:
         """Term or compact IRI -> IRI."""
         if term in self.ctx:
-            return self.ctx[term]["@id"]
+            defn = self.ctx[term]
+            if "@id" not in defn:
+                raise JsonLdError(
+                    f"jsonld: context term {term!r} has no @id")
+            return defn["@id"]
         if ":" in term:
             pfx, _, local = term.partition(":")
             if pfx in self.ctx and not local.startswith("//"):
@@ -124,8 +128,20 @@ class _Parser:
                 return
             if "@value" in v:
                 dt = v.get("@type")
-                self._emit(subj, pred, str(v["@value"]), True,
-                           self._expand(dt) if dt else None,
+                val = v["@value"]
+                # native JSON types keep their canonical RDF lexical
+                # form and implied datatype, same as the bare-value path
+                if isinstance(val, bool):
+                    lex, implied = ("true" if val else "false",
+                                    XSD_NS + "boolean")
+                elif isinstance(val, int):
+                    lex, implied = str(val), XSD_NS + "integer"
+                elif isinstance(val, float):
+                    lex, implied = repr(val), XSD_NS + "double"
+                else:
+                    lex, implied = str(val), None
+                self._emit(subj, pred, lex, True,
+                           self._expand(dt) if dt else implied,
                            v.get("@language"))
                 return
             if set(v) <= {"@id"} and "@id" in v:

@@ -163,8 +163,14 @@ def stanza_triples(stanza: dict):
             yield (subj, RDFS_SUBCLASSOF, id_fix(parts[0]), False)
         elif len(parts) >= 2:
             yield (subj, id_fix(parts[0]), id_fix(parts[1]), False)
+    # union_of emits FLAT (subj, owl:unionOf, member) edges — NOT
+    # per-member equivalentClass (which would wrongly entail the members
+    # are equivalent to each other).  The proper owl:unionOf list form
+    # is available by feeding these rows to
+    # operators.combinators.emit_predicate_list(OWL_UNION_OF).
     for v in stanza.get("union_of", []):
-        yield (subj, OWL_EQUIVALENT_CLASS, _clean_id(v), False)
+        yield (subj, OWL + "unionOf", _clean_id(v), False)
+    # equivalent_to IS per-member equivalence by OBO semantics
     for v in stanza.get("equivalent_to", []):
         yield (subj, OWL_EQUIVALENT_CLASS, _clean_id(v), False)
     for v in stanza.get("disjoint_from", []):

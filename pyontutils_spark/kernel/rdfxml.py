@@ -31,7 +31,7 @@ RDF_FIRST = RDF_NS + "first"
 RDF_REST = RDF_NS + "rest"
 RDF_NIL = RDF_NS + "nil"
 
-_SKOLEM_NS = "http://uri.interlex.org/temp/uris/skolem/"
+from .ids import SKOLEM_NS as _SKOLEM_NS
 
 #: element/attribute names that never become predicates
 _SYNTAX_ATTRS = {RDF_NS + a for a in
@@ -69,7 +69,8 @@ class _Parser:
         self.triples.append((s, p, o, lit, dt, lang))
 
     def _resolve(self, iri: str, base: str | None) -> str:
-        if base and ":" not in iri.split("/")[0].split("#")[0]:
+        head = iri.split("/")[0].split("#")[0].split("?")[0]
+        if base and ":" not in head:
             return urljoin(base, iri)
         return iri
 

@@ -36,7 +36,7 @@ RDF_REST = RDF_NS + "rest"
 RDF_NIL = RDF_NS + "nil"
 RDF_TYPE = RDF_NS + "type"
 
-_SKOLEM_NS = "http://uri.interlex.org/temp/uris/skolem/"
+from .ids import SKOLEM_NS as _SKOLEM_NS
 
 # local-name chars: dot allowed only when followed by another name char
 # (a trailing '.' is the statement terminator); %-encoded and \-escaped
@@ -53,7 +53,7 @@ _TOKEN = re.compile(
       | (?P<decl>@prefix\b|@base\b|(?i:PREFIX)(?=\s)|(?i:BASE)(?=\s))
       | (?P<lang>@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*)
       | (?P<dt>\^\^)
-      | (?P<bnode>_:[A-Za-z0-9_][A-Za-z0-9_.\-]*)
+      | (?P<bnode>_:[A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?)
       | (?P<num>[+-]?(?:\d+\.\d+[eE][+-]?\d+|\.\d+[eE][+-]?\d+
                        |\d+[eE][+-]?\d+|\d*\.\d+|\d+))
       | (?P<punct>[;,.\[\]()])
@@ -111,7 +111,10 @@ class _Parser:
     # -- term helpers -------------------------------------------------
     def _iri(self, raw: str) -> str:
         body = _unescape(raw[1:-1])
-        if self.base and ":" not in body.split("/")[0].split("#")[0]:
+        # relative iff no scheme before the first /, ?, or # (RFC 3986:
+        # scheme chars exclude those, so 'foo?x:y' is relative)
+        head = body.split("/")[0].split("#")[0].split("?")[0]
+        if self.base and ":" not in head:
             return urljoin(self.base, body)
         return body
 

@@ -73,30 +73,49 @@ def fuzzy_candidate_rows(patterns: list[str], lexicon: list[dict],
     Driver-side like the other candidate builders — both operands are
     lexicon-scale (the pattern vocabulary is bounded by the automaton's
     pattern set), and the result ships to executors as one broadcast.
-    Ties break by natsort of the curie, like best_candidates."""
+    Candidates are BLOCKED by shared character trigrams through an
+    inverted index (trigram -> lexicon strings), so cost is
+    O(patterns x block size), not O(patterns x lexicon): any pair with
+    similarity >= min_ratio necessarily shares trigrams (both shared
+    tokens and single-token typos do), while unrelated strings are
+    never scored.  Ties break by natsort of the curie, like
+    best_candidates."""
+
+    def grams(s: str) -> set:
+        return ({s[i:i + 3] for i in range(len(s) - 2)}
+                if len(s) >= 3 else {s})
+
     exact = {r["pattern_norm"] for r in candidate_rows(lexicon,
                                                        min_length=1)}
+    # inverted index: trigram -> [(cand_text, is_synonym, term)]
+    index: dict[str, list] = {}
+    for t in lexicon:
+        for cand_text, is_syn in (
+                [(t["label_norm"], False)]
+                + [(local_degrade(s), True)
+                   for s in t.get("synonyms", ())]):
+            entry = (cand_text, is_syn, t)
+            for g in grams(cand_text):
+                index.setdefault(g, []).append(entry)
     out: dict[str, dict] = {}
     for pat in patterns:
         if pat in exact:
             continue
+        block = {id(e): e for g in grams(pat)
+                 for e in index.get(g, ())}
         best_key = None
         best = None
-        for t in lexicon:
-            for cand_text, is_syn in (
-                    [(t["label_norm"], False)]
-                    + [(local_degrade(s), True)
-                       for s in t.get("synonyms", ())]):
-                ratio = token_set_ratio(pat, cand_text)
-                if ratio < min_ratio:
-                    continue
-                key = (-ratio, natsort_key(t["curie"]))
-                if best_key is None or key < best_key:
-                    best_key = key
-                    best = dict(pattern_norm=pat, term_id=t["term_id"],
-                                curie=t["curie"], iri=t["iri"],
-                                score=SCORE_FUZZY_BASE * ratio,
-                                is_synonym=is_syn)
+        for cand_text, is_syn, t in block.values():
+            ratio = token_set_ratio(pat, cand_text)
+            if ratio < min_ratio:
+                continue
+            key = (-ratio, natsort_key(t["curie"]))
+            if best_key is None or key < best_key:
+                best_key = key
+                best = dict(pattern_norm=pat, term_id=t["term_id"],
+                            curie=t["curie"], iri=t["iri"],
+                            score=SCORE_FUZZY_BASE * ratio,
+                            is_synonym=is_syn)
         if best is not None:
             out[pat] = best
     return list(out.values())

@@ -138,8 +138,9 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
         for cell in order[:nprobe]:
             probes.append((r.q_id, list(r.qv), int(cell)))
     spark = queries.sparkSession
+    qid_type = queries.schema[q_id].dataType.simpleString()
     probe_df = spark.createDataFrame(
-        probes, "q_id long, qv array<double>, cell int")
+        probes, f"q_id {qid_type}, qv array<double>, cell int")
     cand = assigned.join(F.broadcast(probe_df), "cell")
     scored = (cand.withColumn("cosine", cosine_sim(F.col("qv"),
                                                    F.col("cv")))

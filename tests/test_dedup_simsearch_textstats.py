@@ -255,3 +255,14 @@ def test_cosine_near_dup_pairs(spark):
              cosine_near_dup_pairs(df, threshold=0.99).collect()}
     assert (1, 2) in pairs and (1, 4) in pairs and (2, 4) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_ivf_topk_string_query_ids(spark, emb):
+    from pyontutils_spark.operators.simsearch import ivf_topk
+    queries = emb.limit(3).select(
+        F.concat(F.lit("doc:"), F.col("vec_id")).alias("q_id"),
+        "embedding")
+    out = ivf_topk(queries, emb, dim=64, k=3, n_cells=4, nprobe=4)
+    rows = out.collect()
+    assert len(rows) == 9
+    assert all(r.q_id.startswith("doc:") for r in rows)

@@ -225,3 +225,17 @@ def test_obo_full_roundtrip_stable():
     t1 = [set(O.stanza_triples(s)) for s in doc["stanzas"]]
     t2 = [set(O.stanza_triples(s)) for s in doc2["stanzas"]]
     assert t1 == t2
+
+
+def test_obo_union_of_flat_not_equivalence():
+    """union_of must NOT assert per-member equivalentClass (that would
+    entail the members are equivalent to each other)."""
+    from pyontutils_spark.kernel import obo as O
+    doc = O.parse_obo(
+        "[Term]\nid: X:1\nunion_of: X:2\nunion_of: X:3\n")
+    ts = set(O.stanza_triples(doc["stanzas"][0]))
+    u = "http://www.w3.org/2002/07/owl#unionOf"
+    x = "http://purl.obolibrary.org/obo/X_"
+    assert (x + "1", u, x + "2", False) in ts
+    assert (x + "1", u, x + "3", False) in ts
+    assert not any(p == O.OWL_EQUIVALENT_CLASS for s, p, o, il in ts)

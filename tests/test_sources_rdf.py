@@ -86,3 +86,17 @@ def test_turtle_html_variant(spark, tdf):
     html = write_turtle_html_string(tdf)
     assert html.startswith("<pre>")
     assert '<a href="http://e/b">http://e/b</a>' in html
+
+
+def test_read_obo_emits_header_triples(spark, tmp_path):
+    p = tmp_path / "h.obo"
+    p.write_text("format-version: 1.2\nontology: go\n"
+                 "import: http://purl.obolibrary.org/obo/ro.owl\n\n"
+                 "[Term]\nid: GO:1\nname: x\n")
+    got = {(r.subj, r.pred, r.obj) for r in
+           read_obo(spark, str(p)).collect()}
+    ont = "http://purl.obolibrary.org/obo/go.owl"
+    assert (ont, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://www.w3.org/2002/07/owl#Ontology") in got
+    assert (ont, "http://www.w3.org/2002/07/owl#imports",
+            "http://purl.obolibrary.org/obo/ro.owl") in got

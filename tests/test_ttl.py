@@ -255,3 +255,33 @@ def test_sparql_style_decl_whitespace_and_empty_prefix():
     ts2 = parse_turtle("@prefix : <http://d/> .\n:a :p :o .", "d")
     assert ts2 == [("http://d/a", "http://d/p", "http://d/o",
                     False, None, None)]
+
+
+def test_review_fixes_parsers():
+    """Round-2 review regressions: bnode trailing dot, relative IRI
+    with '?', JSON-LD native @value types, term-def without @id."""
+    from pyontutils_spark.kernel.jsonld import JsonLdError, parse_jsonld
+    # bnode immediately followed by the statement terminator
+    ts = parse_turtle("@prefix ex: <http://e/> .\nex:s ex:p _:b1.", "d")
+    assert len(ts) == 1 and "skolem" in ts[0][2]
+    # relative IRI containing ':' after '?' still resolves against base
+    ts2 = parse_turtle("@base <http://e/> .\n<s> <p> <foo?x:y> .", "d")
+    assert ts2[0][2] == "http://e/foo?x:y"
+    # @value-wrapped natives == bare natives (lexical + datatype)
+    doc = ('{"@context": {"ex": "http://e/"}, "@id": "ex:s", '
+           '"ex:a": {"@value": true}, "ex:b": true, '
+           '"ex:c": {"@value": 7}, "ex:d": 7}')
+    ts3 = parse_jsonld(doc, "d")
+    vals = {p: (o, dt) for s, p, o, il, dt, lg in ts3}
+    assert vals["http://e/a"] == vals["http://e/b"] == \
+        ("true", "http://www.w3.org/2001/XMLSchema#boolean")
+    assert vals["http://e/c"] == vals["http://e/d"] == \
+        ("7", "http://www.w3.org/2001/XMLSchema#integer")
+    # context term definition without @id -> declared error type
+    import pytest as _pt
+    with _pt.raises(JsonLdError):
+        parse_jsonld('{"@context": {"foo": {"@type": "@id"}}, '
+                     '"@id": "http://e/s", "foo": "http://e/o"}', "d")
+    # skolem namespace is the shared kernel constant
+    from pyontutils_spark.kernel.ids import SKOLEM_NS
+    assert ts[0][2].startswith(SKOLEM_NS)
