@@ -78,10 +78,15 @@ def token_set_ratio(a: str, b: str) -> float:
     inter = " ".join(sorted(ta & tb))
     sa = (inter + " " + " ".join(sorted(ta - tb))).strip()
     sb = (inter + " " + " ".join(sorted(tb - ta))).strip()
-    return max(
-        SequenceMatcher(None, inter, sa).ratio(),
-        SequenceMatcher(None, inter, sb).ratio(),
-        SequenceMatcher(None, sa, sb).ratio())
+
+    def ratio(x: str, y: str) -> float:
+        # SequenceMatcher.ratio() depends on argument order (the b2j
+        # index is built on the second argument); max over both orders
+        # makes the measure symmetric — property-tested.
+        return max(SequenceMatcher(None, x, y).ratio(),
+                   SequenceMatcher(None, y, x).ratio())
+
+    return max(ratio(inter, sa), ratio(inter, sb), ratio(sa, sb))
 
 
 # --- litsort ------------------------------------------------------------
