@@ -208,3 +208,20 @@ def test_fuzzy_candidates_third_tier(spark):
     assert r["curie"] == "ILX:1"
     assert r["score"] == SCORE_FUZZY_BASE  # ratio 1.0 on the token set
     assert r["score"] < SCORE_SYNONYM
+
+
+def test_detect_mentions_jvm_equals_fused(spark):
+    """The pure-JVM regexp mention path must produce exactly the fused
+    matcher's (url, pattern_norm) multiset on pre-extracted text, and
+    its plan must contain no Python stage."""
+    from pyontutils_spark.operators import mentions as mo
+    pages = pages_df_local(spark, PAGES)
+    bc = mo.broadcast_automaton(spark, LEX)
+    text_rows = pages.filter(F.col("text").isNotNull())
+    fused = sorted((r.url, r.pattern_norm) for r in
+                   mo.detect_mentions_fused(text_rows, bc).collect())
+    jvm_df = mo.detect_mentions_jvm(pages, LEX)
+    jvm = sorted((r.url, r.pattern_norm) for r in jvm_df.collect())
+    assert jvm == fused and len(jvm) > 0
+    plan = _plan(jvm_df)
+    assert "EvalPython" not in plan  # no Python workers at all
