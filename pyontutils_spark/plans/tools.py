@@ -1,0 +1,45 @@
+"""Tool-level entry points mirroring the reference CLIs (SURVEY §3).
+
+- ``ttlfmt``: any-format read -> canonical serialization
+  (``ttlser/ttlser/ttlfmt.py``: parse with format fallback, re-serialize
+  deterministically).  The defining property is idempotency:
+  ``ttlfmt(ttlfmt(f)) == ttlfmt(f)`` byte-for-byte.
+- ``qnamefix``: re-serialize with prefixes re-culled against the
+  default curie table (``pyontutils/qnamefix.py`` semantics — the
+  canonical writer computes the culled prefix block from the triples,
+  so a read->write pass IS the fix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..kernel.curies import DEFAULT as DEFAULT_PREFIXES
+from ..sources.rdf import read_rdf, write_ntriples, write_turtle_string
+
+
+def ttlfmt(spark: SparkSession, in_path: str, out_path: str | None = None,
+           out_format: str = "turtle", prefix_map=None) -> str:
+    """Canonicalize an RDF file.  Returns the canonical text for
+    turtle output (and writes it when ``out_path`` is given); for
+    ``nt`` output writes the (distributed, deterministic) N-Triples
+    directory and returns its path."""
+    triples = read_rdf(spark, in_path)
+    if out_format in ("nt", "ntriples"):
+        if out_path is None:
+            raise ValueError("nt output requires out_path")
+        write_ntriples(triples, out_path)
+        return out_path
+    text = write_turtle_string(triples, prefix_map or DEFAULT_PREFIXES)
+    if out_path is not None:
+        with open(out_path, "w") as f:
+            f.write(text)
+    return text
+
+
+def qnamefix(spark: SparkSession, in_path: str,
+             out_path: str | None = None, prefix_map=None) -> str:
+    """Cull/normalize the prefix block of a Turtle file: prefixes in
+    the output are exactly those used by the triples, sorted — a
+    read->canonical-write pass (qnamefix.py semantics)."""
+    return ttlfmt(spark, in_path, out_path, "turtle", prefix_map)

@@ -285,3 +285,25 @@ def test_review_fixes_parsers():
     # skolem namespace is the shared kernel constant
     from pyontutils_spark.kernel.ids import SKOLEM_NS
     assert ts[0][2].startswith(SKOLEM_NS)
+
+
+def test_ttlfmt_idempotent(spark, tmp_path):
+    """The defining ttlfmt property: canonicalizing a canonical file is
+    a byte-level no-op (ttlser's round-trip discipline)."""
+    from pyontutils_spark.plans.tools import ttlfmt
+    src = tmp_path / "in.ttl"
+    src.write_text(NASTY_TTL)
+    once_p = tmp_path / "once.ttl"
+    once = ttlfmt(spark, str(src), str(once_p))
+    twice = ttlfmt(spark, str(once_p))
+    assert once == twice
+    assert once_p.read_text() == once
+    # prefix block is culled + sorted (only used prefixes appear)
+    header = [line for line in once.splitlines()
+              if line.startswith("@prefix")]
+    assert header == sorted(header)
+    # nt output path
+    nt_dir = str(tmp_path / "out.nt")
+    assert ttlfmt(spark, str(src), nt_dir, out_format="nt") == nt_dir
+    from pyontutils_spark.sources.rdf import read_ntriples
+    assert read_ntriples(spark, nt_dir).count() > 0
