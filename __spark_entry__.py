@@ -567,6 +567,107 @@ def _q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("cosine_e4"))
 
 
+# lexicon fixture for the label/definition/fragment check queries
+_CHK_LEX = [
+    ("http://e/ilx_0101", "Cerebral Cortex", "outer layer of the cerebrum"),
+    ("http://e/ilx_0202", "Cerebellum", "little brain"),
+    ("http://e/ilx_0303", "Axon", "long neuron projection"),
+]
+_CHK_LEX_VALUES = ", ".join(f"('{i}', '{l}', '{d}')"
+                            for i, l, d in _CHK_LEX)
+_CHK_PROBES = ["cerebral cortex", "LITTLE BRAIN ", "axon", "no match",
+               "probe with int tail 0303", "probe_0101"]
+_CHK_PROBE_VALUES = ", ".join(f"('{p}')" for p in _CHK_PROBES)
+
+# necromancy fixture: deprecated entity with replacedBy
+_NECRO_TRIPLES = [
+    ("http://e/dead", "http://www.w3.org/2002/07/owl#deprecated", "true",
+     True),
+    ("http://e/dead", PREFIXES.expand("replacedBy:"), "http://e/alive",
+     False),
+    ("http://e/dead", "http://p/p", "http://e/other", False),
+    ("http://e/x", "http://p/p", "http://e/dead", False),
+    ("http://e/x", "http://p/label", "dead ref", True),
+]
+_NECRO_VALUES = ", ".join(f"('{s}', '{p}', '{o}', {str(il).lower()})"
+                          for s, p, o, il in _NECRO_TRIPLES)
+
+_SYM_TRIPLES = [
+    ("http://e/b", "http://www.w3.org/2002/07/owl#disjointWith",
+     "http://e/a", False),
+    ("http://e/a", "http://www.w3.org/2002/07/owl#disjointWith",
+     "http://e/b", False),
+    ("http://e/a", "http://p/other", "http://e/b", False),
+]
+_SYM_VALUES = ", ".join(f"('{s}', '{p}', '{o}', {str(il).lower()})"
+                        for s, p, o, il in _SYM_TRIPLES)
+
+_G2F_ROWS = [("k1", "b", 2), ("k1", "a", 1), ("k1", "c", 3),
+             ("k2", "z", 9), ("k2", "y", 8)]
+_G2F_VALUES = ", ".join(f"('{k}', '{v}', {o})" for k, v, o in _G2F_ROWS)
+
+
+def _q_lsh_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding candidate pairs (deterministic md5 band
+    buckets) — the blocking stage of near-dup dedup, reproduced exactly
+    by the oracle."""
+    from pyontutils_spark.operators.dedup import lsh_candidate_pairs
+    docs = _docs(spark, sf_dir)
+    return lsh_candidate_pairs(docs, k=_MINHASH_K, bands=4)
+
+
+def _q_label_definition_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """combo label+definition probe (interlex_ingestion.py:441-497)."""
+    from pyontutils_spark.operators.linking import \
+        label_and_definition_check
+    probes = spark.createDataFrame([(p,) for p in _CHK_PROBES],
+                                   "probe string")
+    lex = spark.createDataFrame(_CHK_LEX,
+                                "iri string, label string, "
+                                "definition string")
+    return label_and_definition_check(probes, lex)
+
+
+def _q_fragment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exhaustive_fragment_check: join on trailing integer fragment."""
+    from pyontutils_spark.operators.linking import fragment_check
+    probes = spark.createDataFrame([(p,) for p in _CHK_PROBES],
+                                   "probe string")
+    lex = spark.createDataFrame(_CHK_LEX,
+                                "iri string, label string, "
+                                "definition string")
+    return fragment_check(probes, lex)
+
+
+def _q_necromancy_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deprecated-entity resurrection (necromancy.py:134): replacedBy
+    map applied to every triple position + owl:sameAs provenance."""
+    from pyontutils_spark.operators.components import rewrite_triples
+    from pyontutils_spark.operators.filters import replacement_mapping
+    t = spark.createDataFrame(
+        [(s, p, o, il, None, None) for s, p, o, il in _NECRO_TRIPLES],
+        vocab.TRIPLE_SCHEMA)
+    return rewrite_triples(t, replacement_mapping(t)) \
+        .select("subj", "pred", "obj")
+
+
+def _q_symmetric_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric predicates keep only the lexically-lesser direction
+    (serializers.py:235-263)."""
+    from pyontutils_spark.operators.hierarchy import normalize_symmetric
+    t = spark.createDataFrame(
+        [(s, p, o, il, None, None) for s, p, o, il in _SYM_TRIPLES],
+        vocab.TRIPLE_SCHEMA)
+    return normalize_symmetric(t).select("subj", "pred", "obj")
+
+
+def _q_group_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY keeping the first row per key (interlex_sql.py:75-79)."""
+    from pyontutils_spark.operators.entities import group_to_first
+    df = spark.createDataFrame(_G2F_ROWS, "k string, v string, ord long")
+    return group_to_first(df, "k", "ord")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "curie_expand": _q_curie_expand,
@@ -604,6 +705,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "axiom_reification": _q_axiom_reification,
         "fingerprint": _q_fingerprint,
         "cosine_near_dup": _q_cosine_near_dup,
+        "lsh_band_pairs": _q_lsh_band_pairs,
+        "label_definition_check": _q_label_definition_check,
+        "fragment_check": _q_fragment_check,
+        "necromancy_rewrite": _q_necromancy_rewrite,
+        "symmetric_normalize": _q_symmetric_normalize,
+        "group_to_first": _q_group_to_first,
     }
 
 
@@ -1062,6 +1169,94 @@ def oracle_sql() -> dict[str, str]:
                  AS cosine_e4
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+        """
+
+    band_parts = []
+    for b in range(4):  # k=8, bands=4 -> r=2
+        band_parts.append(
+            f"SELECT doc_id, {b} AS band, "
+            f"md5(s[{2 * b + 1}] || ',' || s[{2 * b + 2}]) AS bucket "
+            "FROM sig")
+    sqls["lsh_band_pairs"] = f"""
+        WITH hashed AS (
+          SELECT doc_id,
+                 list_distinct(list_transform({_sql_tokens("text")},
+                   t -> {_H32_SQL.format(x="t")})) AS hs
+          FROM documents
+        ),
+        sig AS (
+          SELECT doc_id, [{", ".join(mh_parts)}] AS s
+          FROM hashed WHERE len(hs) > 0
+        ),
+        buckets AS ({" UNION ALL ".join(band_parts)})
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM buckets a JOIN buckets c
+          ON a.band = c.band AND a.bucket = c.bucket
+         AND a.doc_id < c.doc_id
+        """
+
+    sqls["label_definition_check"] = f"""
+        WITH probes(probe) AS (VALUES {_CHK_PROBE_VALUES}),
+        lex(iri, label, definition) AS (VALUES {_CHK_LEX_VALUES})
+        SELECT DISTINCT probe, iri, matched_on FROM (
+          SELECT p.probe, l.iri, 'label' AS matched_on
+          FROM probes p JOIN lex l
+            ON lower(trim(p.probe)) = lower(trim(l.label))
+          UNION ALL
+          SELECT p.probe, l.iri, 'definition'
+          FROM probes p JOIN lex l
+            ON lower(trim(p.probe)) = lower(trim(l.definition))
+        ) u
+        """
+
+    sqls["fragment_check"] = f"""
+        WITH probes(probe) AS (VALUES {_CHK_PROBE_VALUES}),
+        lex(iri, label, definition) AS (VALUES {_CHK_LEX_VALUES}),
+        p AS (SELECT probe, regexp_extract(probe, '(\\d+)$', 1) AS frag
+              FROM probes WHERE regexp_extract(probe, '(\\d+)$', 1) != ''),
+        l AS (SELECT iri, regexp_extract(iri, '(\\d+)$', 1) AS frag
+              FROM lex WHERE regexp_extract(iri, '(\\d+)$', 1) != '')
+        SELECT p.probe, l.iri, p.frag FROM p JOIN l ON p.frag = l.frag
+        """
+
+    _REPL = PREFIXES.expand("replacedBy:")
+    sqls["necromancy_rewrite"] = f"""
+        WITH t(subj, pred, obj, lit) AS (VALUES {_NECRO_VALUES}),
+        m(iri, canon) AS (
+          SELECT subj, obj FROM t WHERE pred = '{_REPL}'
+        )
+        SELECT DISTINCT subj, pred, obj FROM (
+          SELECT coalesce(ms.canon, t.subj) AS subj, t.pred,
+                 CASE WHEN t.lit THEN t.obj
+                      ELSE coalesce(mo.canon, t.obj) END AS obj
+          FROM t LEFT JOIN m ms ON t.subj = ms.iri
+                 LEFT JOIN m mo ON t.obj = mo.iri
+          UNION ALL
+          SELECT iri, '{vocab.OWL_SAMEAS}', canon FROM m
+          WHERE iri != canon
+        ) u
+        """
+
+    _DISJ = "http://www.w3.org/2002/07/owl#disjointWith"
+    sqls["symmetric_normalize"] = f"""
+        WITH t(subj, pred, obj, lit) AS (VALUES {_SYM_VALUES})
+        SELECT DISTINCT
+          CASE WHEN pred = '{_DISJ}' AND NOT lit AND subj > obj
+               THEN obj ELSE subj END AS subj,
+          pred,
+          CASE WHEN pred = '{_DISJ}' AND NOT lit AND subj > obj
+               THEN subj ELSE obj END AS obj
+        FROM t
+        """
+
+    sqls["group_to_first"] = f"""
+        WITH rows(k, v, ord) AS (VALUES {_G2F_VALUES}),
+        ranked AS (
+          SELECT k, v, ord,
+                 row_number() OVER (PARTITION BY k ORDER BY ord) AS rn
+          FROM rows
+        )
+        SELECT k, v, ord FROM ranked WHERE rn = 1
         """
 
     sqls["embedding_topk"] = """
