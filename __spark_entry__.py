@@ -668,6 +668,46 @@ def _q_group_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_to_first(df, "k", "ord")
 
 
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming stateful dedup over the documents table
+    read AS A STREAM (availableNow): one row per content digest ever
+    seen, via applyInPandasWithState.  The emitted digest SET is
+    order-independent, so it oracles against batch DISTINCT md5."""
+    import tempfile
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    batch = _docs(spark, sf_dir)
+    # documents.parquet is a single file; a file-source stream needs a
+    # directory, so scan sf_dir with a glob filter
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    keyed = (stream.withColumn("digest", F.md5("text"))
+             .select("digest").groupBy("digest"))
+
+    def first_seen(key, pdfs, state):
+        any_rows = any(len(p) for p in pdfs)
+        if state.exists or not any_rows:
+            return
+        state.update((True,))
+        import pandas as pd
+        yield pd.DataFrame({"digest": [key[0]]})
+
+    out = keyed.applyInPandasWithState(
+        first_seen, outputStructType="digest string",
+        stateStructType="seen boolean", outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    name = "stream_dedup_out"
+    ckpt = tempfile.mkdtemp(prefix="stream_dedup_ckpt_")
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName(name).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT digest FROM {name}")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "curie_expand": _q_curie_expand,
@@ -711,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "necromancy_rewrite": _q_necromancy_rewrite,
         "symmetric_normalize": _q_symmetric_normalize,
         "group_to_first": _q_group_to_first,
+        "stream_dedup": _q_stream_dedup,
     }
 
 
@@ -1257,6 +1298,10 @@ def oracle_sql() -> dict[str, str]:
           FROM rows
         )
         SELECT k, v, ord FROM ranked WHERE rn = 1
+        """
+
+    sqls["stream_dedup"] = """
+        SELECT DISTINCT md5(text) AS digest FROM documents
         """
 
     sqls["embedding_topk"] = """
