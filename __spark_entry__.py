@@ -88,6 +88,11 @@ _RDF_REST = _RDF_NS + "rest"
 _RDF_NIL = _RDF_NS + "nil"
 
 _MINHASH_K = 8
+# LSH banding: k=16, bands=4 -> r=4 rows/band, s-curve threshold
+# (1/4)^(1/4) ~= 0.71 — the near-dup regime.  (r=2 put the threshold at
+# ~0.5 and kept 63% of all pairs on this corpus: blocking collapse.)
+_LSH_K = 16
+_LSH_BANDS = 4
 _TOKEN_CLEAN_SQL = (
     "string_split(trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g')), ' ')")
 _H32_SQL = "('0x' || substr(md5({x}), 1, 8))::ubigint::bigint"
@@ -136,22 +141,22 @@ def _q_curie_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_qname(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IRI -> qname: longest-namespace-first with separator guard
-    (cull_prefixes core.py:915-921); unmatched IRIs pass through."""
+    (cull_prefixes core.py:915-921); unmatched IRIs pass through.
+
+    Scale plan: the sorted-namespace bisect map (kernel/curies.py
+    PrefixMap) ships to executors once via the UDF closure and each IRI
+    is resolved in an Arrow-vectorized pandas UDF — O(rows · log n),
+    no row amplification, no shuffle.  (The old NLJ-against-all-
+    namespaces + window form amplified every IRI ×190 and shuffled.)"""
+    from pyspark.sql.types import StringType
+
     vec = spark.createDataFrame([(v,) for v in QNAME_VECTORS], "iri string")
-    pfx = spark.createDataFrame(_PREFIX_ROWS, "prefix string, ns string")
-    rest = F.expr("substr(iri, length(ns) + 1)")
-    matched = (vec.join(
-        F.broadcast(pfx),
-        F.col("iri").startswith(F.col("ns"))
-        & ~rest.contains("#") & ~rest.contains("/"), "left"))
-    from pyspark.sql import Window
-    w = Window.partitionBy("iri").orderBy(F.length("ns").desc(), "prefix")
-    return (matched.withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
-            .select("iri",
-                    F.when(F.col("prefix").isNull(), F.col("iri"))
-                    .otherwise(F.concat_ws(":", "prefix", rest))
-                    .alias("qname")))
+    pmap = PREFIXES
+    # explicit returnType (no hints): module uses PEP-563 string
+    # annotations, which pandas_udf cannot resolve for closures here
+    qname_udf = F.pandas_udf(lambda s: s.map(pmap.qname), StringType())
+
+    return vec.select("iri", qname_udf("iri").alias("qname"))
 
 
 def _q_mention_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,10 +615,11 @@ _G2F_VALUES = ", ".join(f"('{k}', '{v}', {o})" for k, v, o in _G2F_ROWS)
 def _q_lsh_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding candidate pairs (deterministic md5 band
     buckets) — the blocking stage of near-dup dedup, reproduced exactly
-    by the oracle."""
+    by the oracle.  Parametrized for the ~0.7-Jaccard near-dup regime
+    (k=16/b=4/r=4) so candidates stay ≪ all-pairs."""
     from pyontutils_spark.operators.dedup import lsh_candidate_pairs
     docs = _docs(spark, sf_dir)
-    return lsh_candidate_pairs(docs, k=_MINHASH_K, bands=4)
+    return lsh_candidate_pairs(docs, k=_LSH_K, bands=_LSH_BANDS)
 
 
 def _q_label_definition_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1212,12 +1218,18 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_cosine_similarity(a.v, b.v) >= 0.3
         """
 
+    lsh_parts = []
+    for a, b in _minhash_params(_LSH_K):
+        lsh_parts.append(
+            f"list_min(list_transform(hs, h -> ({a} * h + {b}) % "
+            f"{MERSENNE_P}))::varchar")
+    _lsh_r = _LSH_K // _LSH_BANDS
     band_parts = []
-    for b in range(4):  # k=8, bands=4 -> r=2
+    for b in range(_LSH_BANDS):
+        cat = " || ',' || ".join(
+            f"s[{_lsh_r * b + j + 1}]" for j in range(_lsh_r))
         band_parts.append(
-            f"SELECT doc_id, {b} AS band, "
-            f"md5(s[{2 * b + 1}] || ',' || s[{2 * b + 2}]) AS bucket "
-            "FROM sig")
+            f"SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sig")
     sqls["lsh_band_pairs"] = f"""
         WITH hashed AS (
           SELECT doc_id,
@@ -1226,7 +1238,7 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ),
         sig AS (
-          SELECT doc_id, [{", ".join(mh_parts)}] AS s
+          SELECT doc_id, [{", ".join(lsh_parts)}] AS s
           FROM hashed WHERE len(hs) > 0
         ),
         buckets AS ({" UNION ALL ".join(band_parts)})

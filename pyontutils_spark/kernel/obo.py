@@ -18,7 +18,27 @@ import re
 
 OBO_PURL = "http://purl.obolibrary.org/obo/"
 
-_TAG = re.compile(r"^([A-Za-z_-]+):\s*(.*?)\s*(?:(?<!\\)!.*)?$")
+_TAG = re.compile(r"^([A-Za-z_-]+):\s*(.*)$")
+
+
+def _strip_comment(value: str) -> str:
+    """Trim a trailing ``! ...`` OBO comment, respecting quoted strings:
+    a ``!`` inside a double-quoted value (e.g.
+    ``property_value: IAO:0000112 "use this! carefully"``) is data, not
+    a comment.  Backslash escapes both quote and bang."""
+    in_q = False
+    i, n = 0, len(value)
+    while i < n:
+        c = value[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == '"':
+            in_q = not in_q
+        elif c == "!" and not in_q:
+            return value[:i].rstrip()
+        i += 1
+    return value
 _SYN = re.compile(r'^"((?:[^"\\]|\\.)*)"\s*([A-Z]*)')
 _DEF = re.compile(r'^"((?:[^"\\]|\\.)*)"')
 
@@ -53,7 +73,7 @@ def parse_obo(text: str) -> dict:
         m = _TAG.match(line)
         if not m:
             continue
-        tag, value = m.group(1), m.group(2).strip()
+        tag, value = m.group(1), _strip_comment(m.group(2)).strip()
         if cur is None:
             header.setdefault(tag, []).append(value)
         else:
@@ -158,7 +178,7 @@ def stanza_triples(stanza: dict):
         if len(parts) >= 2:
             yield (subj, id_fix(parts[0]), id_fix(parts[1]), False)
     for rel in stanza.get("intersection_of", []):
-        parts = rel.split("!")[0].split()
+        parts = rel.split()
         if len(parts) == 1:
             yield (subj, RDFS_SUBCLASSOF, id_fix(parts[0]), False)
         elif len(parts) >= 2:
@@ -182,7 +202,7 @@ def stanza_triples(stanza: dict):
     for v in stanza.get("subset", []):
         yield (subj, OIO_IN_SUBSET, _clean_id(v), False)
     for pv in stanza.get("property_value", []):
-        parts = pv.split("!")[0].split(None, 1)
+        parts = pv.split(None, 1)
         if len(parts) == 2:
             val = parts[1].strip()
             if val.startswith('"'):

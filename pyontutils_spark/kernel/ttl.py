@@ -206,7 +206,10 @@ class _Parser:
                     continue
                 break
             if self._peek()[1] == ";":
-                self._next()
+                # consume runs of ';' — the grammar allows empty items
+                # between semicolons ('s p o ;; p2 o2 .')
+                while self._peek()[1] == ";":
+                    self._next()
                 # trailing ';' before '.' or ']' is legal
                 if self._peek()[1] in (".", "]", None):
                     return

@@ -25,7 +25,15 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-MERSENNE_P = (1 << 61) - 1  # modulus for the affine permutations
+# Modulus for the affine minhash permutations: 2^31-1 (Mersenne).
+# The coefficients are ~31-bit (below), so a*h+b wraps the modulus many
+# times over (a real scrambling permutation) while the max intermediate
+# (2^31-2)*(2^32-1)+2^31 < 2^63-1 still fits a long in BOTH engines —
+# no overflow under Spark ANSI or DuckDB bigint.  (A 2^61-1 modulus
+# with small a is monotone in h — NOT a permutation: every "min-hash"
+# then picks the same minimal token and the signature stops estimating
+# Jaccard entirely.)
+MERSENNE_P = (1 << 31) - 1
 
 
 def h32(col) -> Column:
@@ -42,9 +50,18 @@ def tokens_col(text_col) -> Column:
 
 
 def _minhash_params(k: int) -> list[tuple[int, int]]:
-    """Deterministic affine coefficients (documented constants, same in
-    the oracle SQL): a_i = 2i+1, b_i = i*i+1."""
-    return [(2 * i + 1, i * i + 1) for i in range(k)]
+    """Deterministic affine coefficients (documented constants, the
+    oracle SQL interpolates the same numbers as literals): a_i, b_i are
+    the first 8 hex digits of md5("minhash-a-i"/"minhash-b-i") reduced
+    into [1, p) — pseudorandom ~31-bit values, so every permutation
+    wraps the modulus and genuinely scrambles the token-hash order."""
+    import hashlib
+
+    def coeff(tag: str, i: int) -> int:
+        d = hashlib.md5(f"minhash-{tag}-{i}".encode()).hexdigest()
+        return int(d[:8], 16) % (MERSENNE_P - 1) + 1
+
+    return [(coeff("a", i), coeff("b", i)) for i in range(k)]
 
 
 def _affine(a: int, b: int):
@@ -126,7 +143,15 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
                         bands: int = 4) -> DataFrame:
     """MinHash-LSH candidate pairs: ids sharing at least one band bucket.
     Deterministic (not sampled), so the oracle can reproduce it exactly.
-    k must be divisible by bands."""
+    k must be divisible by bands.
+
+    Calibration: the s-curve similarity threshold is
+    ``(1/bands) ** (bands/k)`` — at the default k=16, bands=4 (r=4 rows
+    per band) that is ~0.71, i.e. pairs well below ~0.7 Jaccard rarely
+    collide.  Small r (e.g. r=2) drags the threshold toward 0.5 and the
+    candidate set toward all-pairs — check ``lsh_blocking_ratio`` when
+    tuning; a ratio near 1 means blocking has collapsed and the verify
+    join will scale quadratically."""
     assert k % bands == 0
     r = k // bands
     sig = minhash_df(docs.select(id_col, text_col), id_col, text_col, k)
@@ -144,6 +169,22 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     return (a.join(bb, ["band", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
+
+
+def lsh_blocking_ratio(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 16,
+                       bands: int = 4) -> float:
+    """Diagnostic: |candidate pairs| / |all pairs| for a given LSH
+    parametrization on a (sampled) corpus.  Run this on a sample when
+    calibrating — silent blocking collapse (ratio -> 1) means the
+    banding keeps nearly everything and the downstream verify join
+    would explode quadratically at scale."""
+    n = docs.count()
+    all_pairs = n * (n - 1) // 2
+    if all_pairs == 0:
+        return 0.0
+    cand = lsh_candidate_pairs(docs, id_col, text_col, k, bands).count()
+    return cand / all_pairs
 
 
 def jaccard_verify(docs: DataFrame, pairs: DataFrame,

@@ -169,6 +169,7 @@ def topo_layers(edges: DataFrame, max_iter: int = 32,
     layers = nodes.withColumn("layer", F.lit(0)) \
         .localCheckpoint(eager=True)
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         upd = (edges.select(F.col(child).alias("node"),
                             F.col(parent).alias("p"))
@@ -185,8 +186,19 @@ def topo_layers(edges: DataFrame, max_iter: int = 32,
                          F.sum("layer").alias("s")).collect()[0]
         sig = (sig["n"], sig["s"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # the last round still changed a layer: either the DAG is
+        # deeper than max_iter or there is a subClassOf cycle (layers
+        # grow forever on a cycle). Silently-wrong layers would corrupt
+        # downstream canonical ordering, so fail loudly.
+        raise RuntimeError(
+            f"topo_layers did not converge in {max_iter} iterations — "
+            "hierarchy deeper than max_iter or a subClassOf cycle; "
+            "raise max_iter or break the cycle "
+            "(detect_cycles in this module finds the SCC members)")
     return layers
 
 

@@ -89,20 +89,30 @@ def fuzzy_candidate_rows(patterns: list[str], lexicon: list[dict],
                                                        min_length=1)}
     # inverted index: trigram -> [(cand_text, is_synonym, term)]
     index: dict[str, list] = {}
+    all_entries: list = []
     for t in lexicon:
         for cand_text, is_syn in (
                 [(t["label_norm"], False)]
                 + [(local_degrade(s), True)
                    for s in t.get("synonyms", ())]):
             entry = (cand_text, is_syn, t)
+            all_entries.append(entry)
             for g in grams(cand_text):
                 index.setdefault(g, []).append(entry)
     out: dict[str, dict] = {}
     for pat in patterns:
         if pat in exact:
             continue
-        block = {id(e): e for g in grams(pat)
-                 for e in index.get(g, ())}
+        if len(pat) < 3:
+            # a <3-char pattern has no trigram to block on (its
+            # whole-string fallback gram is never indexed by >=3-char
+            # candidates) — score it against the full lexicon so the
+            # "never missed above min_ratio" claim holds. Short
+            # patterns are rare; cost is bounded by the lexicon size.
+            block = {id(e): e for e in all_entries}
+        else:
+            block = {id(e): e for g in grams(pat)
+                     for e in index.get(g, ())}
         best_key = None
         best = None
         for cand_text, is_syn, t in block.values():

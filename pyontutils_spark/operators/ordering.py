@@ -130,8 +130,11 @@ def canonical_order(triples: DataFrame) -> DataFrame:
     (subj, pred, obj) rank order within."""
     secs = subject_sections(triples)
     n_sections = len(TOP_CLASSES)
+    # No explicit broadcast hint: in real OWL ontologies nearly every
+    # subject is typed owl:Class, so the section table scales with
+    # entity count — let AQE pick broadcast vs shuffle by actual size.
     return (with_rank_columns(triples)
-            .join(F.broadcast(secs), "subj", "left")
+            .join(secs, "subj", "left")
             .withColumn("section",
                         F.coalesce("section", F.lit(n_sections)))
             .orderBy("section", "subj_rank", "pred_rank", "obj_rank",

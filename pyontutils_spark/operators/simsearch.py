@@ -107,13 +107,17 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
       (``pyspark.ml``, seeded -> deterministic).  At scale, fit on a
       sample and persist ``assigned`` partitioned by cell so a probe
       prunes partitions at the scan.
-    - **Search**: each query probes its ``nprobe`` nearest centroids
-      (centroid table is tiny -> computed driver-side), candidates are
-      the union of those cells, reranked by exact cosine; top-k per
-      query.  ``nprobe == n_cells`` degenerates to exact search.
+    - **Search**: each query probes its ``nprobe`` nearest centroids —
+      the centroid matrix (n_cells × dim, tiny) ships to executors in
+      the probe UDF's closure and every query's probe cells are
+      computed in one Arrow-batched matmul, fully distributed (no
+      driver collect); candidates are the union of those cells,
+      reranked by exact cosine; top-k per query.
+      ``nprobe == n_cells`` degenerates to exact search.
 
-    Queries are a small table by contract (like cosine_topk's broadcast
-    side); the corpus never leaves the executors."""
+    The query table never touches the driver; at scale the probe side
+    stays broadcastable as long as queries × nprobe fits the broadcast
+    threshold (the usual top-k contract)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -124,23 +128,24 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
     assigned = (model.transform(feats)
                 .select("c_id", "cv", F.col("prediction").alias("cell")))
     centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
-    # cosine-probe the centroid table (tiny) on the driver
     cn = centers / np.maximum(
         np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
-    q_rows = queries.select(F.col(q_id).alias("q_id"),
-                            F.col(vec).cast("array<double>").alias("qv")) \
-        .collect()
-    probes = []
-    for r in q_rows:
-        qv = np.asarray(r.qv)
-        qn = qv / max(np.linalg.norm(qv), 1e-12)
-        order = np.argsort(-(cn @ qn))
-        for cell in order[:nprobe]:
-            probes.append((r.q_id, list(r.qv), int(cell)))
-    spark = queries.sparkSession
-    qid_type = queries.schema[q_id].dataType.simpleString()
-    probe_df = spark.createDataFrame(
-        probes, f"q_id {qid_type}, qv array<double>, cell int")
+    cnT = cn.T  # (dim, n_cells) — closure-shipped, one copy/executor
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())  # (batch, dim)
+        mn = m / np.maximum(
+            np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(mn @ cnT), axis=1, kind="stable")
+        return pd.Series([row[:nprobe].astype("int64").tolist()
+                          for row in order])
+
+    probe_df = (queries
+                .select(F.col(q_id).alias("q_id"),
+                        F.col(vec).cast("array<double>").alias("qv"))
+                .withColumn("cell", F.explode(probe_cells("qv")))
+                .withColumn("cell", F.col("cell").cast("int")))
     cand = assigned.join(F.broadcast(probe_df), "cell")
     scored = (cand.withColumn("cosine", cosine_sim(F.col("qv"),
                                                    F.col("cv")))

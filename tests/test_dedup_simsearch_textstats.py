@@ -266,3 +266,46 @@ def test_ivf_topk_string_query_ids(spark, emb):
     rows = out.collect()
     assert len(rows) == 9
     assert all(r.q_id.startswith("doc:") for r in rows)
+
+
+def test_minhash_permutations_scramble(spark):
+    """Regression: affine coefficients must WRAP the modulus.  With
+    small monotone coefficients every permutation picks the same
+    minimal token hash, so any two docs sharing the min token get
+    identical full signatures regardless of similarity — minhash stops
+    estimating Jaccard.  Here two docs share exactly one token (likely
+    the min for some but not all permutations): signatures must differ
+    in most positions."""
+    df = spark.createDataFrame(
+        [(1, "shared alpha beta gamma delta"),
+         (2, "shared zeta omega theta lambda")],
+        "doc_id long, text string")
+    sigs = {r.doc_id: r.minhash for r in with_minhash(df).collect()}
+    same = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    # true Jaccard = 1/9; expected matching positions ~ k/9 ~ 2 of 16
+    assert same <= 6, f"{same}/16 positions equal - monotone permutations?"
+
+
+def test_minhash_estimates_jaccard(spark):
+    """Signature agreement rate ~ true Jaccard (the defining property)."""
+    a_toks = [f"w{i}" for i in range(40)]
+    b_toks = [f"w{i}" for i in range(20, 60)]  # |A∩B|=20, |A∪B|=60
+    df = spark.createDataFrame(
+        [(1, " ".join(a_toks)), (2, " ".join(b_toks))],
+        "doc_id long, text string")
+    sigs = {r.doc_id: r.minhash
+            for r in with_minhash(df, k=64).collect()}
+    est = sum(a == b for a, b in zip(sigs[1], sigs[2])) / 64.0
+    assert abs(est - 20 / 60) < 0.15, est
+
+
+def test_lsh_blocking_ratio_small_on_distinct_corpus(spark):
+    """At the calibrated parametrization (k=16, b=4, r=4, s-curve
+    threshold ~0.71) a corpus of genuinely distinct documents yields
+    candidates ≪ all-pairs — blocking has not collapsed."""
+    from pyontutils_spark.operators.dedup import lsh_blocking_ratio
+    rows = [(i, " ".join(f"t{i}x{j}" for j in range(25)))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ratio = lsh_blocking_ratio(df, k=16, bands=4)
+    assert ratio < 0.02, ratio

@@ -211,13 +211,25 @@ def test_topo_layers_longest_chain(spark):
     assert ordered == ["a", "b1", "b2", "c", "d", "e"]
 
 
-def test_topo_layers_cycle_bounded(spark):
-    """A cycle must not hang: max_iter bounds the relaxation."""
+def test_topo_layers_cycle_raises(spark):
+    """A cycle must not hang AND must not return silently-wrong layers:
+    non-convergence within max_iter raises."""
+    import pytest
     from pyontutils_spark.operators.hierarchy import topo_layers
     df = spark.createDataFrame([("x", "y"), ("y", "x"), ("z", "x")],
                                "child string, parent string")
-    got = topo_layers(df, max_iter=6).collect()
-    assert len(got) == 3  # completes and covers all nodes
+    with pytest.raises(RuntimeError, match="did not converge"):
+        topo_layers(df, max_iter=6)
+
+
+def test_topo_layers_deep_chain_converges(spark):
+    """A chain exactly at depth max_iter-1 still converges (the
+    convergence probe needs one extra stable round)."""
+    from pyontutils_spark.operators.hierarchy import topo_layers
+    chain = [(f"n{i+1}", f"n{i}") for i in range(6)]
+    df = spark.createDataFrame(chain, "child string, parent string")
+    got = {r.node: r.layer for r in topo_layers(df, max_iter=8).collect()}
+    assert got == {f"n{i}": i for i in range(7)}
 
 
 def test_materialize_inverses(spark):

@@ -239,3 +239,25 @@ def test_obo_union_of_flat_not_equivalence():
     assert (x + "1", u, x + "2", False) in ts
     assert (x + "1", u, x + "3", False) in ts
     assert not any(p == O.OWL_EQUIVALENT_CLASS for s, p, o, il in ts)
+
+
+def test_obo_bang_inside_quotes_preserved():
+    """'!' inside a quoted value is data, not a comment
+    (comment stripping is quote-aware); '!' outside quotes still
+    strips, and backslash-escaped '!' survives."""
+    from pyontutils_spark.kernel.obo import parse_obo, stanza_triples
+    text = """[Term]
+id: X:1
+name: thing ! this is a comment
+property_value: IAO:0000112 "use this! carefully"
+def: "a def with bang! inside" [ref]
+"""
+    doc = parse_obo(text)
+    st = doc["stanzas"][0]
+    assert st["name"] == ["thing"]
+    assert st["property_value"] == ['IAO:0000112 "use this! carefully"']
+    triples = list(stanza_triples(st))
+    pv = [t for t in triples if t[1].endswith("IAO_0000112")]
+    assert pv and pv[0][2] == "use this! carefully"
+    d = [t for t in triples if t[1].endswith("IAO_0000115")]
+    assert d and d[0][2] == "a def with bang! inside"

@@ -210,6 +210,20 @@ def test_fuzzy_candidates_third_tier(spark):
     assert r["score"] < SCORE_SYNONYM
 
 
+def test_fuzzy_candidates_short_pattern_completeness(spark):
+    """A <3-char pattern has no trigram to block on (its whole-string
+    fallback gram is never indexed by >=3-char candidates) — it must
+    still be scored against the full lexicon, not silently dropped."""
+    from pyontutils_spark.operators.linking import fuzzy_candidate_rows
+    lex = [dict(term_id=1, label_norm="cb extra", curie="ILX:1",
+                iri="http://e/1", synonyms=[])]
+    rows = fuzzy_candidate_rows(["cb"], lex, min_ratio=0.5)
+    got = {r["pattern_norm"]: r for r in rows}
+    # token_set_ratio('cb', 'cb extra') = 1.0 on the shared token —
+    # before the full-lexicon fallback this pair could never block
+    assert got["cb"]["curie"] == "ILX:1"
+
+
 def test_detect_mentions_jvm_equals_fused(spark):
     """The pure-JVM regexp mention path must produce exactly the fused
     matcher's (url, pattern_norm) multiset on pre-extracted text, and

@@ -307,3 +307,15 @@ def test_ttlfmt_idempotent(spark, tmp_path):
     assert ttlfmt(spark, str(src), nt_dir, out_format="nt") == nt_dir
     from pyontutils_spark.sources.rdf import read_ntriples
     assert read_ntriples(spark, nt_dir).count() > 0
+
+
+def test_doubled_semicolons_legal():
+    """predicateObjectList allows empty items between ';' — doubled
+    (and tripled) semicolons parse."""
+    from pyontutils_spark.kernel.ttl import parse_turtle
+    text = ("@prefix ex: <http://ex.org/> .\n"
+            "ex:s ex:p ex:o ;; ex:p2 ex:o2 ;;; ex:p3 ex:o3 .\n")
+    rows = parse_turtle(text)
+    preds = sorted(r[1] for r in rows)
+    assert preds == ["http://ex.org/p", "http://ex.org/p2",
+                     "http://ex.org/p3"]
