@@ -298,3 +298,13 @@ def parse_turtle(text: str, bnode_prefix: str = "") -> list[tuple]:
     the file path / url) so bnode IRIs are globally unique yet
     deterministic per document."""
     return _Parser(text, bnode_prefix).parse()
+
+
+def parse_turtle_document(text: str, bnode_prefix: str = ""):
+    """Like ``parse_turtle`` but also returns the document's prefix
+    declarations and base: ``(triples, prefixes, base)``.  The nifttl
+    writer needs the declared prefix block (the reference serializer
+    emits every bound namespace, used or not — see list-good.ttl)."""
+    p = _Parser(text, bnode_prefix)
+    triples = p.parse()
+    return triples, dict(p.prefixes), p.base

@@ -19,11 +19,39 @@ from ..sources.rdf import read_rdf, write_ntriples, write_turtle_string
 
 
 def ttlfmt(spark: SparkSession, in_path: str, out_path: str | None = None,
-           out_format: str = "turtle", prefix_map=None) -> str:
+           out_format: str = "nifttl", prefix_map=None) -> str:
     """Canonicalize an RDF file.  Returns the canonical text for
     turtle output (and writes it when ``out_path`` is given); for
     ``nt`` output writes the (distributed, deterministic) N-Triples
-    directory and returns its path."""
+    directory and returns its path.
+
+    ``out_format='nifttl'`` (the default, matching the reference tool)
+    emits the reference-byte-compatible ``CustomTurtleSerializer``
+    layout — for a single local turtle file the document's own @prefix
+    block is preserved, exactly like the reference ttlfmt.
+    ``'turtle'`` keeps the engine's flat canonical layout."""
+    if out_format == "nifttl":
+        import os
+        from ..kernel.nifttl import serialize_nifttl
+        from ..kernel.ttl import parse_turtle_document
+        if os.path.isfile(in_path):
+            with open(in_path) as f:
+                src = f.read()
+            rows, prefixes, _base = parse_turtle_document(src, in_path)
+        else:
+            triples = read_rdf(spark, in_path)
+            rows = [(r.subj, r.pred, r.obj, r.obj_is_literal,
+                     r.obj_datatype, r.obj_lang)
+                    for r in triples.collect()]
+            pm = prefix_map or DEFAULT_PREFIXES
+            prefixes = pm.cull(
+                {r[0] for r in rows} | {r[1] for r in rows}
+                | {r[2] for r in rows if not r[3]})
+        text = serialize_nifttl(rows, prefixes)
+        if out_path is not None:
+            with open(out_path, "w") as f:
+                f.write(text)
+        return text
     triples = read_rdf(spark, in_path)
     if out_format in ("nt", "ntriples"):
         if out_path is None:

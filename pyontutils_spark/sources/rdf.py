@@ -111,6 +111,27 @@ def write_turtle_string(triples: DataFrame, prefix_map=None) -> str:
           r.obj_lang) for r in rows), pm)
 
 
+def write_nifttl_string(triples: DataFrame,
+                        namespaces: dict | None = None) -> str:
+    """Reference-byte-compatible nifttl text for a small graph
+    (``CustomTurtleSerializer`` layout, ttlser/serializers.py:148-778):
+    section headers, curated predicate order, fixed-point bnode
+    ranking, nested ``[ ]``/``( )`` re-anonymization.  Verified
+    byte-equal to the ttlser golden files in
+    tests/test_nifttl_parity.py.  ``namespaces``: the prefix block to
+    emit (the source document's declarations); defaults to the engine
+    prefix table culled to the graph's IRIs."""
+    from ..kernel.nifttl import serialize_nifttl
+    rows = [(r.subj, r.pred, r.obj, r.obj_is_literal, r.obj_datatype,
+             r.obj_lang) for r in triples.collect()]
+    if namespaces is None:
+        pm = DEFAULT_PREFIXES
+        iris = {r[0] for r in rows} | {r[1] for r in rows} | {
+            r[2] for r in rows if not r[3]}
+        namespaces = pm.cull(iris)
+    return serialize_nifttl(rows, namespaces)
+
+
 def write_turtle_html_string(triples: DataFrame, prefix_map=None) -> str:
     """Hyperlinked-ttl presentation variant (HtmlTurtleSerializer,
     ttlser/serializers.py:781-824): same canonical order, IRIs wrapped

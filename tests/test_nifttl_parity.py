@@ -1,0 +1,124 @@
+"""Byte-parity of the nifttl writer with the reference's golden files —
+the ttlser crown-jewel test (ttlser/test/test_ttlser.py:197-202: parse
+nasty.ttl under randomized bnode/prefix order, serialize, byte-compare
+to good.ttl after dropping the trailing version comment).
+
+Here the parse side is this engine's own turtle parser, so the whole
+path (tokenizer -> skolemized triples -> fixed-point bnode ranking ->
+writer) is exercised end-to-end with zero rdflib involvement.
+"""
+
+import random
+from pathlib import Path
+
+import pytest
+
+from pyontutils_spark.kernel.nifttl import serialize_nifttl
+from pyontutils_spark.kernel.ttl import parse_turtle_document
+
+REF = Path("/root/reference/ttlser/test")
+
+needs_ref = pytest.mark.skipif(not REF.exists(),
+                               reason="reference golden files not present")
+
+
+def _roundtrip(nasty_name: str) -> tuple[str, list, dict]:
+    text = (REF / nasty_name).read_text()
+    rows, prefixes, _base = parse_turtle_document(text, nasty_name)
+    return serialize_nifttl(rows, prefixes), rows, prefixes
+
+
+def _body(out: str) -> str:
+    # the same comparison the reference test does (test_ttlser.py:126):
+    # drop the trailing version-comment line and its newline
+    return out.rsplit("\n", 2)[0]
+
+
+@needs_ref
+@pytest.mark.parametrize("nasty,good", [
+    ("nasty.ttl", "good.ttl"),
+    ("list-nasty.ttl", "list-good.ttl"),
+])
+def test_byte_identical_to_golden(nasty, good):
+    out, _, _ = _roundtrip(nasty)
+    assert _body(out).encode() == (REF / good).read_bytes()
+
+
+@needs_ref
+def test_deterministic_under_shuffle():
+    """Shuffled triple-row order, shuffled prefix-dict order, and a
+    different skolem document key must all produce identical bytes
+    (the reference randomizes bnodes + prefixes 5x)."""
+    text = (REF / "nasty.ttl").read_text()
+    rows, prefixes, _ = parse_turtle_document(text, "nasty.ttl")
+    ref = serialize_nifttl(rows, prefixes)
+    for seed in range(3):
+        r = list(rows)
+        random.Random(seed).shuffle(r)
+        pk = list(prefixes.items())
+        random.Random(seed + 99).shuffle(pk)
+        assert serialize_nifttl(r, dict(pk)) == ref
+    rows2, p2, _ = parse_turtle_document(text, "other-skolem-key")
+    assert serialize_nifttl(rows2, p2) == ref
+
+
+@needs_ref
+def test_idempotent():
+    """parse(serialize(g)) -> serialize byte-equals serialize(g)."""
+    out, _, _ = _roundtrip("nasty.ttl")
+    rows, prefixes, _ = parse_turtle_document(out, "round2")
+    assert serialize_nifttl(rows, prefixes) == out
+
+
+def test_small_graph_layout():
+    """Self-contained layout check (no reference needed): sections,
+    predicate order, 'a' keyword, object-list + restriction shape."""
+    src = """@prefix ex: <http://example.org/> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+ex:B a owl:Class ;
+    rdfs:subClassOf ex:A, [ a owl:Restriction ;
+        owl:onProperty ex:p ; owl:someValuesFrom ex:A ] ;
+    rdfs:label "b class" .
+ex:A a owl:Class .
+"""
+    rows, prefixes, _ = parse_turtle_document(src, "small")
+    out = serialize_nifttl(rows, prefixes)
+    expected = """@prefix ex: <http://example.org/> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix xml: <http://www.w3.org/XML/1998/namespace> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+### Classes
+
+ex:A a owl:Class .
+
+ex:B a owl:Class ;
+    rdfs:label "b class" ;
+    rdfs:subClassOf ex:A,
+        [ a owl:Restriction ;
+            owl:onProperty ex:p ;
+            owl:someValuesFrom ex:A ] .
+"""
+    assert _body(out) == expected
+
+
+def test_literal_normalization_and_order():
+    """Typed literal lexical normalization (double -> e-notation,
+    dateTime -> isoformat) and litsort ordering: bool < numeric <
+    datetime < strings."""
+    src = """@prefix ex: <http://example.org/> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+ex:x rdfs:label "b", 2, 1e0, true, 0.5, "A",
+    "2020-01-02T03:04:05-00"^^xsd:dateTime .
+"""
+    rows, prefixes, _ = parse_turtle_document(src, "lits")
+    out = serialize_nifttl(rows, prefixes)
+    stanza = out[out.index("ex:x"):]
+    order = ["true", "0.5", "1e+00", "2",
+             '"2020-01-02T03:04:05+00:00"^^xsd:dateTime', '"A"', '"b"']
+    pos = [stanza.index(tok) for tok in order]
+    assert pos == sorted(pos), stanza
