@@ -714,6 +714,215 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT digest FROM {name}")
 
 
+# --- round-3 fixtures: obo / graphml / class records / uriswitch /
+# prune / dematerialize / label synthesis -----------------------------------
+
+_OBO_TEXT = """format-version: 1.2
+ontology: tst
+
+[Term]
+id: TST:0000001
+name: alpha cell
+def: "an alpha cell" [PMID:1]
+synonym: "a-cell" EXACT []
+is_a: TST:0000002 ! parent comment
+xref: FMA:123
+property_value: IAO:0000112 "use this! carefully"
+
+[Term]
+id: TST:0000002
+name: beta cell
+is_obsolete: true
+replaced_by: TST:0000003
+
+[Typedef]
+id: part_of
+name: part of
+is_transitive: true
+"""
+
+# the tag rows the oracle maps to triples independently (the Python
+# side parses _OBO_TEXT through the real per-file Spark source)
+_OBO_TAGS = [
+    ("TST:0000001", "Term", "name", "alpha cell"),
+    ("TST:0000001", "Term", "def", "an alpha cell"),
+    ("TST:0000001", "Term", "synonym_exact", "a-cell"),
+    ("TST:0000001", "Term", "is_a", "TST:0000002"),
+    ("TST:0000001", "Term", "xref", "FMA:123"),
+    ("TST:0000001", "Term", "pv_lit_IAO:0000112", "use this! carefully"),
+    ("TST:0000002", "Term", "name", "beta cell"),
+    ("TST:0000002", "Term", "is_obsolete", "true"),
+    ("TST:0000002", "Term", "replaced_by", "TST:0000003"),
+    ("part_of", "Typedef", "name", "part of"),
+    ("part_of", "Typedef", "is_transitive", "true"),
+]
+_OBO_TAG_VALUES = ", ".join(f"('{i}', '{s}', '{t}', '{v}')"
+                            for i, s, t, v in _OBO_TAGS)
+
+_GRAPHML_TEXT = """<?xml version="1.0" encoding="UTF-8"?>
+<graphml xmlns="http://graphml.graphdrawing.org/xmlns">
+  <graph id="G" edgedefault="directed">
+    <node id="n0"><data key="d0">Brain Region</data></node>
+    <node id="n1"><data key="d0">Cortex</data></node>
+    <node id="n2"><data key="d0">Layer 5</data></node>
+    <edge source="n1" target="n0"><data key="d1">is_a</data></edge>
+    <edge source="n2" target="n1"><data key="d1">part_of</data></edge>
+    <edge source="n2" target="n0"><data key="d1"></data></edge>
+  </graph>
+</graphml>
+"""
+_GRAPHML_NODES = [("n0", "Brain Region"), ("n1", "Cortex"),
+                  ("n2", "Layer 5")]
+_GRAPHML_EDGES = [("n1", "n0", "is_a"), ("n2", "n1", "part_of"),
+                  ("n2", "n0", "")]
+_GML_NODE_VALUES = ", ".join(f"('{i}', '{l}')" for i, l in _GRAPHML_NODES)
+_GML_EDGE_VALUES = ", ".join(f"('{s}', '{d}', '{l}')"
+                             for s, d, l in _GRAPHML_EDGES)
+
+_OWL = "http://www.w3.org/2002/07/owl#"
+_CLSREC_TRIPLES = [
+    ("http://e/c1", vocab.RDF_TYPE, _OWL + "Class", False),
+    ("http://e/c1", vocab.RDFS_LABEL, "cell one", True),
+    ("http://e/c1", vocab.RDFS_LABEL, "alt label", True),
+    ("http://e/c1", vocab.NIFRID_SYNONYM, "uno", True),
+    ("http://e/c1", vocab.RDFS_SUBCLASSOF, "http://e/c2", False),
+    ("http://e/c1", vocab.RDFS_SUBCLASSOF, "http://e/c3", False),
+    ("http://e/c2", vocab.RDF_TYPE, _OWL + "Class", False),
+    ("http://e/c2", vocab.RDFS_LABEL, "cell two", True),
+    ("http://e/notaclass", vocab.RDFS_LABEL, "ignored", True),
+]
+_CLSREC_VALUES = ", ".join(f"('{s}', '{p}', '{o}', {str(il).lower()})"
+                           for s, p, o, il in _CLSREC_TRIPLES)
+
+_URISW_TRIPLES = [
+    ("http://x/nlx_sub_123", "http://p/p", "http://x/nif_organ_7", False),
+    ("http://x/ok_1", "http://p/p", "http://x/nlx_sub_123", False),
+    ("http://x/ok_1", "http://p/label", "a nlx_sub_ literal", True),
+]
+_URISW_VALUES = ", ".join(f"('{s}', '{p}', '{o}', {str(il).lower()})"
+                          for s, p, o, il in _URISW_TRIPLES)
+
+# prune fixture: tree under root 'a' + an out-of-tree island (x -> y)
+_PRUNE_EDGES = EDGE_ROWS + [("x1", "y1"), ("y2", "y1")]
+_PRUNE_EDGE_VALUES = ", ".join(f"('{c}', '{p}')" for c, p in _PRUNE_EDGES)
+
+# dematerialize fixture: (node, ancestor) duplicated at several depths
+_DEMAT_ROWS = [("c", "a", 2), ("c", "a", 3), ("c", "b", 1),
+               ("d", "a", 4), ("d", "a", 2), ("d", "a", 6)]
+_DEMAT_VALUES = ", ".join(f"('{n}', '{a}', {d})" for n, a, d in _DEMAT_ROWS)
+
+# label synthesis fixture: digit-free values so natsort == lower()
+_LABEL_PROPS = [
+    ("http://e/n1", "phenotype", "parvalbumin", True),
+    ("http://e/n1", "location", "cortex", False),
+    ("http://e/n1", "morphology", "basket", False),
+    ("http://e/n1", "role", "projection", False),
+    ("http://e/n2", "location", "thalamus", False),
+    ("http://e/n2", "location", "anterior", False),
+]
+_LABEL_PROP_VALUES = ", ".join(
+    f"('{i}', '{c}', '{v}', {str(n).lower()})"
+    for i, c, v, n in _LABEL_PROPS)
+
+
+def _q_obo_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OBO stanza triples (obo_io.py Term.triples semantics) through
+    the real per-file Spark source: fixture .obo -> mapInPandas parse
+    -> triple rows.  The oracle recomputes the tag->predicate emission
+    from the tag table, so a parser regression hash-mismatches."""
+    import os
+    import tempfile
+
+    from pyontutils_spark.sources.rdf import read_obo
+    d = tempfile.mkdtemp(prefix="obo_fixture_")
+    with open(os.path.join(d, "fixture.obo"), "w") as f:
+        f.write(_OBO_TEXT)
+    return read_obo(spark, d).select("subj", "pred", "obj")
+
+
+def _q_graphml_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphML -> triples (graphml_to_ttl.py:77-110): node labels +
+    edge-label predicate mapping, through the whole-file source."""
+    import os
+    import tempfile
+
+    from pyontutils_spark.sources.graphml import read_graphml
+    d = tempfile.mkdtemp(prefix="graphml_fixture_")
+    with open(os.path.join(d, "fixture.graphml"), "w") as f:
+        f.write(_GRAPHML_TEXT)
+    return read_graphml(spark, d).select("subj", "pred", "obj")
+
+
+def _q_class_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """for_burak per-class records (ontload.py:561-589): labels +
+    synonyms + parents, arrays projected to joined strings so both
+    engines hash identical scalars."""
+    from pyontutils_spark.operators.entities import class_records
+    t = spark.createDataFrame(
+        [(s, p, o, il, None, None) for s, p, o, il in _CLSREC_TRIPLES],
+        vocab.TRIPLE_SCHEMA)
+    recs = class_records(t)
+    return recs.select(
+        "iri",
+        F.array_join("labels", "|").alias("labels_s"),
+        F.array_join("synonyms", "|").alias("synonyms_s"),
+        F.array_join("parents", "|").alias("parents_s"))
+
+
+def _q_uriswitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """swapUriSwitch fragment rules (ontutils.py:521-583): regex
+    rewrite of every IRI position + owl:sameAs provenance rows."""
+    from pyontutils_spark.operators.uriswitch import switch_uris
+    t = spark.createDataFrame(
+        [(s, p, o, il, None, None) for s, p, o, il in _URISW_TRIPLES],
+        vocab.TRIPLE_SCHEMA)
+    return switch_uris(t).select("subj", "pred", "obj")
+
+
+def _q_prune_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pruneOutOfTree (hierarchies.py:419-435): keep nodes reaching a
+    root, one closure pass + semi-joins."""
+    from pyontutils_spark.operators.hierarchy import prune_out_of_tree
+    edges = spark.createDataFrame(_PRUNE_EDGES,
+                                  "child string, parent string")
+    nodes = (edges.selectExpr("child AS node")
+             .unionByName(edges.selectExpr("parent AS node")).distinct())
+    roots = spark.createDataFrame([("a",)], "node string")
+    return prune_out_of_tree(nodes, edges, roots)
+
+
+def _q_dematerialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dematerialize (hierarchies.py:119-164): keep each
+    (node, ancestor) at its minimal depth only."""
+    from pyontutils_spark.operators.hierarchy import dematerialize
+    closure = spark.createDataFrame(
+        _DEMAT_ROWS, "node string, ancestor string, depth long")
+    return dematerialize(closure)
+
+
+def _q_label_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LabelMaker (neurondm/core.py:119-301): property bag -> label in
+    fixed category order, natsorted within category, '-' prefix for
+    negative phenotypes.  Fixture values are digit-free so the oracle
+    can natsort with lower()."""
+    from pyontutils_spark.operators.labels import synthesize_labels
+    props = spark.createDataFrame(
+        _LABEL_PROPS,
+        "iri string, category string, value string, negative boolean")
+    return synthesize_labels(props)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: block on the top 8 signature bits,
+    verify hamming <= 3 — blocking + verify both recomputed in SQL
+    (xor + bit_count)."""
+    from pyontutils_spark.operators.dedup import simhash_near_dups
+    docs = _docs(spark, sf_dir)
+    return simhash_near_dups(docs, max_hamming=3) \
+        .select("id_a", "id_b", F.col("hamming").cast("long")
+                .alias("hamming"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "curie_expand": _q_curie_expand,
@@ -758,6 +967,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symmetric_normalize": _q_symmetric_normalize,
         "group_to_first": _q_group_to_first,
         "stream_dedup": _q_stream_dedup,
+        "obo_triples": _q_obo_triples,
+        "graphml_edges": _q_graphml_edges,
+        "class_records": _q_class_records,
+        "uriswitch": _q_uriswitch,
+        "prune_tree": _q_prune_tree,
+        "dematerialize": _q_dematerialize,
+        "label_synthesis": _q_label_synthesis,
+        "simhash_pairs": _q_simhash_pairs,
     }
 
 
@@ -1336,6 +1553,176 @@ def oracle_sql() -> dict[str, str]:
         SELECT q_id, vec_id, rank,
                round(cosine * 10000)::bigint AS cosine_e4
         FROM ranked WHERE rank <= 5
+        """
+
+    _OBO = "http://purl.obolibrary.org/obo/"
+    _OIO = "http://www.geneontology.org/formats/oboInOwl#"
+    sqls["obo_triples"] = f"""
+        WITH tags(id, stype, tag, value) AS (VALUES {_OBO_TAG_VALUES}),
+        fx AS (SELECT '{_OBO}' || replace(id, ':', '_') AS subj, *
+               FROM tags)
+        SELECT subj, pred, obj FROM (
+          SELECT DISTINCT subj, '{vocab.RDF_TYPE}' AS pred,
+                 CASE WHEN stype = 'Typedef'
+                      THEN '{_OWL}ObjectProperty'
+                      ELSE '{_OWL}Class' END AS obj
+          FROM fx
+          UNION ALL
+          SELECT subj, '{vocab.RDFS_LABEL}', value FROM fx
+          WHERE tag = 'name'
+          UNION ALL
+          SELECT subj, '{_OBO}IAO_0000115', value FROM fx
+          WHERE tag = 'def'
+          UNION ALL
+          SELECT subj, '{_OIO}hasExactSynonym', value FROM fx
+          WHERE tag = 'synonym_exact'
+          UNION ALL
+          SELECT subj, '{vocab.RDFS_SUBCLASSOF}',
+                 '{_OBO}' || replace(value, ':', '_') FROM fx
+          WHERE tag = 'is_a' AND stype = 'Term'
+          UNION ALL
+          SELECT subj, '{_OIO}hasDbXref', value FROM fx
+          WHERE tag = 'xref'
+          UNION ALL
+          SELECT subj, '{_OBO}' || replace(substr(tag, 8), ':', '_'),
+                 value FROM fx
+          WHERE starts_with(tag, 'pv_lit_')
+          UNION ALL
+          SELECT subj, '{_OWL}deprecated', 'true' FROM fx
+          WHERE tag = 'is_obsolete' AND value = 'true'
+          UNION ALL
+          SELECT r.subj, '{_OBO}IAO_0100001',
+                 '{_OBO}' || replace(r.value, ':', '_')
+          FROM fx r JOIN fx ob
+            ON ob.subj = r.subj AND ob.tag = 'is_obsolete'
+           AND ob.value = 'true'
+          WHERE r.tag = 'replaced_by'
+          UNION ALL
+          SELECT subj, '{vocab.RDF_TYPE}', '{_OWL}TransitiveProperty'
+          FROM fx
+          WHERE tag = 'is_transitive' AND value = 'true'
+            AND stype = 'Typedef'
+          UNION ALL
+          SELECT '{_OBO}tst.owl', '{vocab.RDF_TYPE}', '{_OWL}Ontology'
+        ) u
+        """
+
+    _TEMP_NS = "http://uri.interlex.org/temp/uris/"
+    _RELATED = "http://uri.interlex.org/tgbugs/uris/readable/relatedTo"
+    _BFO_PART = "http://purl.obolibrary.org/obo/BFO_0000050"
+    sqls["graphml_edges"] = f"""
+        WITH nodes(id, label) AS (VALUES {_GML_NODE_VALUES}),
+        edges(src, dst, label) AS (VALUES {_GML_EDGE_VALUES}),
+        iri AS (SELECT id,
+                 '{_TEMP_NS}graphml/' ||
+                 replace(lower(trim(label)), ' ', '-') AS iri, label
+                FROM nodes)
+        SELECT iri AS subj, '{vocab.RDFS_LABEL}' AS pred, label AS obj
+        FROM iri WHERE label != ''
+        UNION ALL
+        SELECT s.iri, CASE lower(trim(e.label))
+                        WHEN 'is_a' THEN '{vocab.RDFS_SUBCLASSOF}'
+                        WHEN 'part_of' THEN '{_BFO_PART}'
+                        ELSE '{_RELATED}' END,
+               d.iri
+        FROM edges e JOIN iri s ON s.id = e.src JOIN iri d ON d.id = e.dst
+        """
+
+    sqls["class_records"] = f"""
+        WITH t(subj, pred, obj, il) AS (VALUES {_CLSREC_VALUES}),
+        cls AS (SELECT DISTINCT subj AS iri FROM t
+                WHERE pred = '{vocab.RDF_TYPE}'
+                  AND obj = '{_OWL}Class')
+        SELECT c.iri,
+          coalesce((SELECT string_agg(DISTINCT obj, '|' ORDER BY obj)
+                    FROM t WHERE subj = c.iri
+                      AND pred = '{vocab.RDFS_LABEL}'), '') AS labels_s,
+          coalesce((SELECT string_agg(DISTINCT obj, '|' ORDER BY obj)
+                    FROM t WHERE subj = c.iri
+                      AND pred = '{vocab.NIFRID_SYNONYM}'), '')
+            AS synonyms_s,
+          coalesce((SELECT string_agg(DISTINCT obj, '|' ORDER BY obj)
+                    FROM t WHERE subj = c.iri
+                      AND pred = '{vocab.RDFS_SUBCLASSOF}'), '')
+            AS parents_s
+        FROM cls c
+        """
+
+    _sw = ("regexp_replace(regexp_replace(regexp_replace({x}, "
+           "'/nlx_sub_', '/nlx_subcell_', 'g'), "
+           "'/nif_organ_', '/nlx_organ_', 'g'), "
+           "'/nlx_sub/', '/nlx_subcell/', 'g')")
+    sqls["uriswitch"] = f"""
+        WITH t(subj, pred, obj, il) AS (VALUES {_URISW_VALUES}),
+        rw AS (SELECT {_sw.format(x="subj")} AS subj, pred,
+                      CASE WHEN il THEN obj
+                           ELSE {_sw.format(x="obj")} END AS obj, il
+               FROM t),
+        changed AS (
+          SELECT DISTINCT old, new FROM (
+            SELECT subj AS old, {_sw.format(x="subj")} AS new FROM t
+            UNION ALL
+            SELECT obj, {_sw.format(x="obj")} FROM t WHERE NOT il
+          ) u WHERE old != new)
+        SELECT DISTINCT subj, pred, obj FROM (
+          SELECT subj, pred, obj FROM rw
+          UNION ALL
+          SELECT old, '{vocab.OWL_SAMEAS}', new FROM changed
+        ) v
+        """
+
+    sqls["prune_tree"] = f"""
+        WITH RECURSIVE e(child, parent) AS (VALUES {_PRUNE_EDGE_VALUES}),
+        up(node, anc) AS (
+          SELECT child, parent FROM e
+          UNION
+          SELECT up.node, e.parent FROM up JOIN e ON e.child = up.anc
+        )
+        SELECT DISTINCT node FROM (
+          SELECT node FROM up WHERE anc = 'a'
+          UNION ALL SELECT 'a'
+        ) u
+        """
+
+    sqls["dematerialize"] = f"""
+        WITH c(node, ancestor, depth) AS (VALUES {_DEMAT_VALUES})
+        SELECT node, ancestor, min(depth)::bigint AS depth
+        FROM c GROUP BY node, ancestor
+        """
+
+    sqls["label_synthesis"] = f"""
+        WITH p(iri, category, value, negative) AS
+          (VALUES {_LABEL_PROP_VALUES}),
+        r AS (SELECT iri,
+                CASE category WHEN 'location' THEN 0 WHEN 'phenotype'
+                  THEN 1 WHEN 'molecular' THEN 2 WHEN 'morphology'
+                  THEN 3 WHEN 'role' THEN 9 ELSE 5 END AS crank,
+                lower(value) AS nkey,
+                CASE WHEN negative THEN '-' || value
+                     ELSE value END AS shown
+              FROM p)
+        SELECT iri, string_agg(shown, ' ' ORDER BY crank, nkey, shown)
+          AS label
+        FROM r GROUP BY iri
+        """
+
+    sqls["simhash_pairs"] = f"""
+        WITH hashed AS (
+          SELECT doc_id,
+                 list_distinct(list_transform({_sql_tokens("text")},
+                   t -> {_H32_SQL.format(x="t")})) AS hs
+          FROM documents
+        ),
+        sig AS (
+          SELECT doc_id, ({" + ".join(bit_parts)})::bigint AS s
+          FROM hashed WHERE len(hs) > 0
+        ),
+        blk AS (SELECT doc_id, s, s >> 24 AS blk FROM sig)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.s, b.s))::bigint AS hamming
+        FROM blk a JOIN blk b
+          ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= 3
         """
 
     return sqls
