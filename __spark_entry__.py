@@ -912,6 +912,55 @@ def _q_label_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synthesize_labels(props)
 
 
+_IMP_REMOTE = "http://remote.org/onts"
+_IMP_FILES = {
+    "root.ttl": ("@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+                 f"<{_IMP_REMOTE}/root.ttl> a owl:Ontology ;\n"
+                 f"    owl:imports <{_IMP_REMOTE}/mid.ttl>, "
+                 f"<{_IMP_REMOTE}/leaf.ttl> .\n"),
+    "mid.ttl": ("@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+                f"<{_IMP_REMOTE}/mid.ttl> a owl:Ontology ;\n"
+                f"    owl:imports <{_IMP_REMOTE}/deep.ttl> .\n"),
+    "deep.ttl": ("@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+                 f"<{_IMP_REMOTE}/deep.ttl> a owl:Ontology ;\n"
+                 "    owl:imports <http://external.org/other.owl> .\n"),
+    "leaf.ttl": ("@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+                 f"<{_IMP_REMOTE}/leaf.ttl> a owl:Ontology .\n"),
+}
+_IMP_EDGES = [
+    ("root.ttl", f"{_IMP_REMOTE}/root.ttl", f"{_IMP_REMOTE}/mid.ttl"),
+    ("root.ttl", f"{_IMP_REMOTE}/root.ttl", f"{_IMP_REMOTE}/leaf.ttl"),
+    ("mid.ttl", f"{_IMP_REMOTE}/mid.ttl", f"{_IMP_REMOTE}/deep.ttl"),
+    ("deep.ttl", f"{_IMP_REMOTE}/deep.ttl",
+     "http://external.org/other.owl"),
+]
+_IMP_EDGE_VALUES = ", ".join(f"('{f}', '{s}', '{o}')"
+                             for f, s, o in _IMP_EDGES)
+
+
+def _q_import_localize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:imports localization (local_imports, ontload.py:395-490):
+    BFS the closure from root.ttl through the per-file Spark source,
+    rewrite remote imports to file:// locals.  Paths normalized to the
+    LOCAL token so the oracle is tempdir-independent."""
+    import os
+    import tempfile
+
+    from pyontutils_spark.plans.imports import localize_imports
+    d = tempfile.mkdtemp(prefix="imports_fixture_")
+    for name, text in _IMP_FILES.items():
+        with open(os.path.join(d, name), "w") as f:
+            f.write(text)
+    _prov, localized = localize_imports(
+        spark, [os.path.join(d, "root.ttl")], _IMP_REMOTE, d,
+        write=False)
+    rows = [(src.replace(d, "LOCAL"), s,
+             o.replace("file://" + d, "file://LOCAL"))
+            for src, s, o in sorted(localized)]
+    return spark.createDataFrame(
+        rows, "src_file string, ont string, target string")
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: block on the top 8 signature bits,
     verify hamming <= 3 — blocking + verify both recomputed in SQL
@@ -975,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dematerialize": _q_dematerialize,
         "label_synthesis": _q_label_synthesis,
         "simhash_pairs": _q_simhash_pairs,
+        "import_localize": _q_import_localize,
     }
 
 
@@ -1723,6 +1773,15 @@ def oracle_sql() -> dict[str, str]:
         FROM blk a JOIN blk b
           ON a.blk = b.blk AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.s, b.s)) <= 3
+        """
+
+    sqls["import_localize"] = f"""
+        WITH e(fname, s, o) AS (VALUES {_IMP_EDGE_VALUES})
+        SELECT 'LOCAL/' || fname AS src_file, s AS ont,
+               CASE WHEN starts_with(o, '{_IMP_REMOTE}')
+                    THEN replace(o, '{_IMP_REMOTE}', 'file://LOCAL')
+                    ELSE o END AS target
+        FROM e
         """
 
     return sqls

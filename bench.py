@@ -122,33 +122,36 @@ def main() -> None:
     if not os.path.exists(tr_path):
         tree_edges(spark, n_graph).write.parquet(tr_path)
 
-    def _best_of(fn, runs: int = 2) -> tuple[float, list[float]]:
-        """min over ``runs`` timed runs — the long iterated graph jobs
-        are the most exposed to the shared host's sporadic throttling
-        (same job measured 18.7s and 93s within 15 minutes), so a
-        single sample is noise."""
-        times = []
-        for _ in range(runs):
+    sa = spark.read.parquet(sa_path)
+    tr = spark.read.parquet(tr_path)
+    # warm the iterated-join + ArrowEvalPython shapes first
+    _force(canonical_mapping(sa.limit(1000)))
+    _force(transitive_closure(tr.limit(1000), max_depth=30))
+
+    # INTERLEAVED best-of-3: the long iterated graph jobs are the most
+    # exposed to the shared host's sporadic throttling (same job
+    # measured 18.7s and 93s within 15 minutes) — alternating cc/tc
+    # spreads each job's samples across throttling windows so the min
+    # is a real measurement, not whichever job dodged the slow window.
+    graph_jobs = {
+        "sameas_components_1m": lambda: _force(canonical_mapping(sa)),
+        "transitive_closure_1m": lambda: _force(
+            transitive_closure(tr, max_depth=30)),
+    }
+    raw_runs: dict[str, list[float]] = {k: [] for k in graph_jobs}
+    for _ in range(3):
+        for name, fn in graph_jobs.items():
             t0 = time.perf_counter()
             fn()
-            times.append(round(time.perf_counter() - t0, 3))
-        return min(times), times
-
-    sa = spark.read.parquet(sa_path)
-    # warm the iterated-join + ArrowEvalPython shape first
-    _force(canonical_mapping(sa.limit(1000)))
-    dt, raw = _best_of(lambda: _force(canonical_mapping(sa)))
-    timings["sameas_components_1m"] = dt
-    extras["cc_edges_per_sec"] = round(n_graph / dt, 1)
-    extras["cc_runs_sec"] = raw
-
-    tr = spark.read.parquet(tr_path)
-    _force(transitive_closure(tr.limit(1000), max_depth=30))
-    dt, raw = _best_of(lambda: _force(transitive_closure(tr,
-                                                         max_depth=30)))
-    timings["transitive_closure_1m"] = dt
-    extras["tc_edges_per_sec"] = round(n_graph / dt, 1)
-    extras["tc_runs_sec"] = raw
+            raw_runs[name].append(round(time.perf_counter() - t0, 3))
+    timings["sameas_components_1m"] = min(raw_runs["sameas_components_1m"])
+    timings["transitive_closure_1m"] = min(raw_runs["transitive_closure_1m"])
+    extras["cc_edges_per_sec"] = round(
+        n_graph / timings["sameas_components_1m"], 1)
+    extras["tc_edges_per_sec"] = round(
+        n_graph / timings["transitive_closure_1m"], 1)
+    extras["cc_runs_sec"] = raw_runs["sameas_components_1m"]
+    extras["tc_runs_sec"] = raw_runs["transitive_closure_1m"]
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -472,7 +472,39 @@ class _ListInfo:
         return True
 
 
+def make_symbol_prefixes(n: int):
+    """The compact serializer's base-66 symbol-prefix sequence
+    (``serializers.py:65-88`` semantics): digits from
+    ``A-Za-z0-9_-%`` with a letter-only most-significant digit and
+    zero (index multiple of the base) skipped."""
+    symbols = ("AABCDEFGHIJKLMNOPQRSTUVWXYZ"
+               "abcdefghijklmnopqrstuvwxyz0123456789_-%")
+    most_significant = 26 * 2
+    base = len(symbols)
+    index = -1
+    count = 0
+    while count < n:
+        index += 1
+        _, br = divmod(index, base)
+        if br == 0:
+            continue
+        i = index
+        out = []
+        while i:
+            i, r = divmod(i, base)
+            out.insert(0, r)
+        if out and out[0] >= most_significant:
+            continue
+        yield "".join(symbols[d] for d in out)
+        count += 1
+
+
 class NifTtlSerializer:
+    #: newline mode: True = the nifttl layout; False = the compact
+    #: one-statement-per-line layout (CompactTurtleSerializer)
+    _newline = True
+    VERSION_COMMENT = VERSION_COMMENT
+
     def __init__(self, rows, namespaces: dict[str, str],
                  is_bnode=None):
         if is_bnode is None:
@@ -482,6 +514,7 @@ class NifTtlSerializer:
         ns = dict(namespaces)
         for p, n in CORE_PREFIXES.items():
             ns.setdefault(p, n)
+        ns = self._extend_namespaces(rows, ns)
         self.qnamer = QNamer(ns)
         self.graph = self._build_graph(rows)
         self._flip_symmetric_uri_cases()
@@ -493,6 +526,10 @@ class NifTtlSerializer:
         self.depth = 0
         self.indent_str = "    "
         self._parts: list[str] = []
+
+    def _extend_namespaces(self, rows, ns):
+        """Hook: the compact subclass binds symbol prefixes here."""
+        return ns
 
     # -- construction ---------------------------------------------------
     def _term(self, value, is_literal, dt, lang):
@@ -799,10 +836,10 @@ class NifTtlSerializer:
         if reorder:
             to_sort.sort(key=lambda t: (self._global_sort_key(t),
                                         _term_str(t)))
-        ws = "\n" + self._indent(1)
+        ws = "\n" + self._indent(1) if self._newline else ""
         for item in to_sort:
             self._write(ws)
-            self._path(item, "object", newline=True)
+            self._path(item, "object", newline=self._newline)
 
     def _p_squared(self, term, position, newline):
         if (term[0] != "b" or term in self._serialized
@@ -841,9 +878,10 @@ class NifTtlSerializer:
             return
         self.depth += 1
         self._path(objects[0], "object")
+        sep = ",\n" + self._indent(1) if self._newline else ","
         for obj in objects[1:]:
-            self._write(",\n" + self._indent(1))
-            self._path(obj, "object", newline=True)
+            self._write(sep)
+            self._path(obj, "object", newline=self._newline)
         self.depth -= 1
 
     def _predicate_list(self, subject, newline=False):
@@ -859,21 +897,22 @@ class NifTtlSerializer:
         plist = sorted(props, key=lambda p: self.pred_rank[p])
         self._path(plist[0], "verb", newline)
         self._object_list(props[plist[0]])
-        ws = " ;\n" + self._indent(1)
+        ws = " ;\n" + self._indent(1) if self._newline else ";"
         for p in plist[1:]:
             self._write(ws)
-            self._path(p, "verb", newline=True)
+            self._path(p, "verb", newline=self._newline)
             self._object_list(props[p])
         return True
 
     def _statement(self, subject):
         self._serialized.add(subject)
+        lead = "\n" + self._indent() if self._newline else ""
         if subject[0] == "b" and self._refs.get(subject, 0) == 0:
-            self._write("\n" + self._indent() + "[]")
+            self._write(lead + "[]")
             self._predicate_list(subject)
             self._write(" .")
             return True
-        self._write("\n" + self._indent())
+        self._write(lead)
         self._path(subject, "subject")
         self._predicate_list(subject)
         self._write(" .")
@@ -898,7 +937,7 @@ class NifTtlSerializer:
                     continue
                 if self._statement(subject):
                     self._write("\n")
-        self._write("\n" + VERSION_COMMENT + "\n")
+        self._write("\n" + self.VERSION_COMMENT + "\n")
         return "".join(self._parts)
 
 
@@ -910,3 +949,56 @@ def serialize_nifttl(rows, namespaces: dict[str, str],
     skolem IRIs recognized by ``is_bnode`` (default: kernel/ids
     SKOLEM_NS prefix)."""
     return NifTtlSerializer(rows, namespaces, is_bnode).serialize()
+
+
+class CompactTtlSerializer(NifTtlSerializer):
+    """The compact deterministic layout (``CompactTurtleSerializer``,
+    ``serializers.py:833-882``): every IRI appearing more than twice
+    (and longer than 10 chars) across subjects/predicates/objects/
+    literal datatypes gets a base-66 symbol prefix bound to the FULL
+    IRI (so it renders as ``A:`` — an empty local name), and every
+    statement is a single line with no indentation whitespace."""
+
+    _newline = False
+    VERSION_COMMENT = ("### Serialized using the pyontutils_spark "
+                       "compact deterministic serializer v1.2.0")
+
+    def _extend_namespaces(self, rows, ns):
+        counts: dict[str, int] = {}
+
+        def bump(iri):
+            counts[iri] = counts.get(iri, 0) + 1
+
+        for s, p, o, is_lit, dt, _lang in rows:
+            if not self._is_bnode_iri(s):
+                bump(s)
+            bump(p)
+            if is_lit:
+                if dt:
+                    bump(dt)
+            elif not self._is_bnode_iri(o):
+                bump(o)
+        compactable = sorted(sorted(
+            v for v, c in counts.items() if c > 2 and len(v) > 10),
+            key=natsort)
+        bound_ns = set(ns.values())
+        taken = set(ns)
+        symbols = sorted(sorted(make_symbol_prefixes(len(compactable))),
+                         key=natsort)
+        for sym, iri in zip(symbols, compactable):
+            # bind(q, p, override=False): keep existing bindings
+            if sym in taken or iri in bound_ns:
+                continue
+            ns[sym] = iri
+            taken.add(sym)
+            bound_ns.add(iri)
+        return ns
+
+
+def serialize_compact(rows, namespaces: dict[str, str],
+                      is_bnode=None) -> str:
+    """Compact deterministic turtle: symbol prefixes for frequent IRIs,
+    one statement per line.  Round-trips through parse_turtle to the
+    same triple set (tested) and is deterministic under shuffled
+    input."""
+    return CompactTtlSerializer(rows, namespaces, is_bnode).serialize()

@@ -6,14 +6,16 @@ Decode is REAL for the formats that need no external libraries:
 
 - **PPM (P6)** and **uncompressed 24-bit BMP** images — pure byte
   parsing into ``numpy`` (height, width, 3) arrays,
+- **PNG** (8-bit gray/gray+alpha/RGB/RGBA/palette, non-interlaced) —
+  stdlib ``zlib`` inflate + all five scanline filters (None/Sub/Up/
+  Average/Paeth) unfiltered in pure Python/numpy,
 - **WAV (PCM)** audio — stdlib ``wave`` + ``numpy``.
 
-Compressed formats (PNG/JPEG/MP3/video codecs) require libraries this
-container doesn't ship; ``decode_image`` dispatches on magic bytes and
-raises a declared ``NotImplementedError`` for those — the Spark-side
-plumbing (schema, partitioning, UDF signature, bounded batch shape) is
-identical either way, so wiring PIL/ffmpeg later touches only the
-dispatch table.
+JPEG/MP3/video codecs require libraries this container doesn't ship;
+``decode_image`` dispatches on magic bytes and raises a declared
+``NotImplementedError`` for those — the Spark-side plumbing (schema,
+partitioning, UDF signature, bounded batch shape) is identical either
+way, so wiring PIL/ffmpeg later touches only the dispatch table.
 """
 
 from __future__ import annotations
@@ -23,6 +25,7 @@ import io
 import re
 import struct
 import wave
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -92,6 +95,144 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return arr[::-1] if flip else arr  # bottom-up storage
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray, filters=None) -> bytes:
+    """uint8 array (h, w[, channels]) -> PNG bytes.  ``filters``: per-
+    row filter types to apply (cycled), default all-0 — pass
+    ``[0, 1, 2, 3, 4]`` to exercise every unfilter path in tests."""
+    px = np.ascontiguousarray(np.atleast_3d(pixels).astype("u1"))
+    h, w, nch = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    flat = px.reshape(h, w * nch).astype("i2")
+    stride = w * nch
+    raw = bytearray()
+    prev = np.zeros(stride, dtype="i2")
+    for y in range(h):
+        f = filters[y % len(filters)] if filters else 0
+        line = flat[y]
+        left = np.concatenate([np.zeros(nch, "i2"), line[:-nch]]) \
+            if stride > nch else np.zeros(stride, "i2")
+        prev_left = np.concatenate([np.zeros(nch, "i2"), prev[:-nch]]) \
+            if stride > nch else np.zeros(stride, "i2")
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = line - left
+        elif f == 2:
+            enc = line - prev
+        elif f == 3:
+            enc = line - ((left + prev) >> 1)
+        else:  # Paeth
+            pred = np.array([_paeth(int(left[i]), int(prev[i]),
+                                    int(prev_left[i]))
+                             for i in range(stride)], dtype="i2")
+            enc = line - pred
+        raw.append(f)
+        raw += (enc & 0xFF).astype("u1").tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> (h, w, 3) uint8 RGB.  Pure stdlib: zlib inflate + the 5
+    scanline filters.  8-bit depth, color types 0/2/3/4/6,
+    non-interlaced (Adam7 raises)."""
+    if bytes(payload[:8]) != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    palette = None
+    w = h = ctype = None
+    n = len(payload)
+    while pos + 8 <= n:
+        ln = struct.unpack_from(">I", payload, pos)[0]
+        typ = bytes(payload[pos + 4:pos + 8])
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8:
+                raise NotImplementedError("only 8-bit PNG supported")
+            if interlace:
+                raise NotImplementedError("Adam7 interlace unsupported")
+        elif typ == b"PLTE":
+            palette = np.frombuffer(data, "u1").reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    out = np.empty((h, stride), dtype="u1")
+    prev = np.zeros(stride, dtype="u1")
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        p += 1
+        line = bytearray(raw[p:p + stride])
+        p += stride
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                c = int(prev[i - nch]) if i >= nch else 0
+                line[i] = (line[i] + _paeth(a, int(prev[i]), c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        arr = np.frombuffer(bytes(line), "u1")
+        out[y] = arr
+        prev = arr
+    img = out.reshape(h, w, nch)
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE")
+        return palette[img[:, :, 0]].copy()
+    if nch == 1:
+        return np.repeat(img, 3, axis=2).copy()
+    if nch == 2:
+        return np.repeat(img[:, :, :1], 3, axis=2).copy()
+    if nch == 4:
+        return img[:, :, :3].copy()
+    return img.copy()
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """WAV (PCM 16-bit) -> (samples int16 array [n, channels], rate)."""
     with wave.open(io.BytesIO(payload)) as wf:
@@ -104,17 +245,20 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch: PPM/BMP decode here; PNG/JPEG need PIL
-    (absent in this container -> declared NotImplementedError)."""
+    """Magic-byte dispatch: PPM/BMP/PNG decode here (pure stdlib);
+    JPEG needs PIL (absent in this container -> declared
+    NotImplementedError)."""
     b = bytes(payload[:8])
     if b.startswith(b"P6"):
         return decode_ppm(payload)
     if b.startswith(b"BM"):
         return decode_bmp(payload)
-    if b.startswith(b"\x89PNG") or b.startswith(b"\xff\xd8"):
+    if b.startswith(b"\x89PNG"):
+        return decode_png(payload)
+    if b.startswith(b"\xff\xd8"):
         if not _HAVE_PIL:
             raise NotImplementedError(
-                "PNG/JPEG decoding requires PIL, not in this container")
+                "JPEG decoding requires PIL, not in this container")
         import PIL.Image
         return np.asarray(PIL.Image.open(io.BytesIO(payload))
                           .convert("RGB"))

@@ -183,6 +183,31 @@ def read_turtle(spark: SparkSession, path: str) -> DataFrame:
     return _per_file_source(spark, path, parse_turtle)
 
 
+def read_turtle_with_src(spark: SparkSession, paths) -> DataFrame:
+    """Like read_turtle but keeps the source file path column
+    (src_file) — the imports localizer needs to know which FILE each
+    owl:imports edge came from.  ``paths``: str or list of paths."""
+    from ..kernel.ttl import parse_turtle
+    files = spark.read.text(paths, wholetext=True) \
+        .withColumn("_src", F.input_file_name())
+
+    def per_file(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["src_file", "subj", "pred", "obj", "obj_is_literal",
+                "obj_datatype", "obj_lang"]
+        for pdf in batches:
+            rows = []
+            for text, src in zip(pdf["value"], pdf["_src"]):
+                # input_file_name returns a file: URI; keep plain paths
+                plain = src[7:] if src.startswith("file://") else (
+                    src[5:] if src.startswith("file:") else src)
+                for s, p, o, il, dt, lg in parse_turtle(text, src):
+                    rows.append((plain, s, p, o, il, dt, lg))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(
+        per_file, schema="src_file string, " + vocab.TRIPLE_SCHEMA)
+
+
 def read_rdfxml(spark: SparkSession, path: str) -> DataFrame:
     """RDF/XML files -> triple rows (kernel/rdfxml.py per file)."""
     from ..kernel.rdfxml import parse_rdfxml

@@ -62,3 +62,40 @@ def class_records_json(triples: DataFrame, path: str) -> None:
     JSON lines (ontload.py:561-591)."""
     from ..operators.entities import class_records
     class_records(triples).write.mode("overwrite").json(path)
+
+
+def read_sql_table(spark: SparkSession, url: str, table: str,
+                   dedup_key: str | None = None,
+                   order_col: str | None = None,
+                   partition_column: str | None = None,
+                   lower_bound=None, upper_bound=None,
+                   num_partitions: int | None = None,
+                   **options) -> DataFrame:
+    """JDBC ingestion with the reference SQL source's dedup semantics
+    (``interlex_sql.py:67-128``: ``GROUP BY t.ilx`` keeping one row) —
+    ``spark.read.jdbc`` then ``group_to_first(dedup_key, order_col)``.
+
+    Scale contract: pass ``partition_column``/bounds/``num_partitions``
+    so the read is a parallel range scan, not a single-connection pull
+    (Spark's standard JDBC partitioning); predicates still push down to
+    the database.  Requires the database's JDBC driver jar on the Spark
+    classpath (none ships in this sandbox — the wrapper raises the
+    driver's ClassNotFound error verbatim; the dedup semantics are
+    covered engine-side by ``entities.group_to_first`` tests and the
+    ``group_to_first`` oracle query)."""
+    reader = (spark.read.format("jdbc")
+              .option("url", url)
+              .option("dbtable", table))
+    if partition_column is not None:
+        reader = (reader.option("partitionColumn", partition_column)
+                  .option("lowerBound", str(lower_bound))
+                  .option("upperBound", str(upper_bound))
+                  .option("numPartitions", str(num_partitions or 8)))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    if dedup_key is not None:
+        from ..operators.entities import group_to_first
+        df = group_to_first(df, dedup_key,
+                            order_col or dedup_key)
+    return df

@@ -218,9 +218,40 @@ def test_multimodal_resize_and_bmp(spark):
 def test_multimodal_decode_stub_for_compressed():
     from pyontutils_spark.operators.multimodal import decode_image
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n")
+        decode_image(b"\xff\xd8\xff\xe0JPEG")  # JPEG still PIL-gated
     with pytest.raises(ValueError):
         decode_image(b"GIBBERISH")
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n")  # valid magic, no chunks
+
+
+def test_png_roundtrip_all_filters():
+    """Pure-stdlib PNG: encode known pixels with every scanline filter
+    type (None/Sub/Up/Average/Paeth cycled per row), decode, equal."""
+    import numpy as np
+    from pyontutils_spark.operators.multimodal import (
+        decode_image, decode_png, encode_png)
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, size=(10, 7, 3), dtype="uint8")
+    for filters in (None, [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        out = decode_png(encode_png(rgb, filters=filters))
+        assert np.array_equal(out, rgb), filters
+    # RGBA drops alpha; grayscale expands to RGB; dispatch works
+    rgba = rng.randint(0, 256, size=(5, 5, 4), dtype="uint8")
+    assert np.array_equal(decode_png(encode_png(rgba, [0, 4])),
+                          rgba[:, :, :3])
+    gray = rng.randint(0, 256, size=(4, 6), dtype="uint8")
+    out = decode_image(encode_png(gray, [2, 3]))
+    assert np.array_equal(out, np.repeat(gray[:, :, None], 3, axis=2))
+    # interlaced PNGs stay declared-unsupported
+    import struct as _s
+    import zlib as _z
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + _s.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+               + _s.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+    with pytest.raises(NotImplementedError):
+        decode_png(payload)
 
 
 def test_ivf_topk_recall_and_full_probe_exact(spark, emb):

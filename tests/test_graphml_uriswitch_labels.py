@@ -81,3 +81,60 @@ def test_label_natsort_within_category(spark):
         rows, "iri string, category string, value string, "
               "negative boolean")).collect()
     assert out[0].label == "L2 L10"
+
+
+def _write_import_fixture(tmp_path):
+    """4-file repo with a 2-deep owl:imports chain + one external."""
+    remote = "http://remote.org/onts"
+    files = {
+        "root.ttl": f"""@prefix owl: <http://www.w3.org/2002/07/owl#> .
+<{remote}/root.ttl> a owl:Ontology ;
+    owl:imports <{remote}/mid.ttl>, <{remote}/leaf.ttl> .
+""",
+        "mid.ttl": f"""@prefix owl: <http://www.w3.org/2002/07/owl#> .
+<{remote}/mid.ttl> a owl:Ontology ;
+    owl:imports <{remote}/deep.ttl> .
+""",
+        "deep.ttl": f"""@prefix owl: <http://www.w3.org/2002/07/owl#> .
+<{remote}/deep.ttl> a owl:Ontology ;
+    owl:imports <http://external.org/other.owl> .
+""",
+        "leaf.ttl": f"""@prefix owl: <http://www.w3.org/2002/07/owl#> .
+<{remote}/leaf.ttl> a owl:Ontology .
+""",
+    }
+    for name, text in files.items():
+        (tmp_path / name).write_text(text)
+    return remote, str(tmp_path)
+
+
+def test_local_imports_end_to_end(spark, tmp_path):
+    """local_imports (ontload.py:395-490): chase the closure, rewrite
+    remote imports to file:// locals in place (nifttl layout), return
+    sameAs + imports provenance triples."""
+    from pyontutils_spark.plans.imports import localize_imports
+    remote, local = _write_import_fixture(tmp_path)
+    prov, localized = localize_imports(
+        spark, [f"{local}/root.ttl"], remote, local)
+    owl_imports = "http://www.w3.org/2002/07/owl#imports"
+    sameas = "http://www.w3.org/2002/07/owl#sameAs"
+    # every file in the closure was visited and got a sameAs row
+    same = {(s, o) for s, p, o in prov if p == sameas}
+    assert same == {(f"{remote}/{n}", f"{local}/{n}")
+                    for n in ("root.ttl", "mid.ttl", "deep.ttl",
+                              "leaf.ttl")}
+    # original imports edges preserved in provenance
+    imps = {(s, o) for s, p, o in prov if p == owl_imports}
+    assert (f"{remote}/root.ttl", f"{remote}/mid.ttl") in imps
+    assert (f"{remote}/deep.ttl", "http://external.org/other.owl") in imps
+    # files rewritten in place: local imports now file://, external kept
+    root_txt = (tmp_path / "root.ttl").read_text()
+    assert f"<file://{local}/mid.ttl>" in root_txt
+    deep_txt = (tmp_path / "deep.ttl").read_text()
+    assert "<http://external.org/other.owl>" in deep_txt
+    assert "### " in root_txt  # nifttl layout (section headers)
+    # idempotent: running again is a no-op on the edge set
+    prov2, _ = localize_imports(
+        spark, [f"{local}/root.ttl"], remote, local)
+    same2 = {(s, o) for s, p, o in prov2 if p == sameas}
+    assert same2 == {(f"{remote}/root.ttl", f"{local}/root.ttl")}

@@ -122,3 +122,41 @@ ex:x rdfs:label "b", 2, 1e0, true, 0.5, "A",
              '"2020-01-02T03:04:05+00:00"^^xsd:dateTime', '"A"', '"b"']
     pos = [stanza.index(tok) for tok in order]
     assert pos == sorted(pos), stanza
+
+
+@needs_ref
+def test_compact_serializer_roundtrip_and_determinism():
+    """CompactTurtleSerializer semantics (serializers.py:833-882):
+    symbol prefixes for frequent IRIs, one statement per line.
+    Round-trip invariant: the output is a fixpoint — parse(compact(g))
+    re-serializes byte-identically (the first pass applies the same
+    normalizations as nifttl: literal lexical forms, disjointWith
+    orientation, rdf:List flattening)."""
+    import random
+    from pyontutils_spark.kernel.nifttl import serialize_compact
+    text = (REF / "nasty.ttl").read_text()
+    rows, prefixes, _ = parse_turtle_document(text, "nasty.ttl")
+    out = serialize_compact(rows, prefixes)
+    # symbol prefixes bound to FULL IRIs (empty local names in use)
+    assert "@prefix A: <" in out
+    # compact: predicate groups and object lists stay on one line
+    # (the only embedded newlines come from triple-quoted literals)
+    assert ";\n" not in out and ",\n" not in out
+    import re
+    assert re.search(r"sco:0 a \w+:; owl:imports sco:1 \.", out)
+    # determinism under shuffle
+    r2 = list(rows)
+    random.Random(3).shuffle(r2)
+    assert serialize_compact(r2, prefixes) == out
+    # fixpoint: parse our own compact output -> identical bytes
+    rows2, p2, _ = parse_turtle_document(out, "rt")
+    assert serialize_compact(rows2, p2) == out
+
+
+def test_make_symbol_prefixes():
+    from pyontutils_spark.kernel.nifttl import make_symbol_prefixes
+    syms = list(make_symbol_prefixes(80))
+    assert len(syms) == len(set(syms)) == 80
+    assert syms[:3] == ["A", "B", "C"]
+    # every prefix starts with a letter (most-significant digit rule)
+    assert all(s[0].isalpha() for s in syms)

@@ -96,3 +96,16 @@ def test_nasty_ordering_deterministic(spark):
     assert p_objs[-1] == "a10" and set(p_objs[:2]) == {"a9", "A9"}
     subs = [r[0] for r in outs[0]]
     assert subs.index("http://e/x2") < subs.index("http://e/x10")
+
+
+def test_read_sql_table_env_gated(spark):
+    """JDBC wrapper: without a driver jar the load fails with the JVM's
+    driver error (env-gated — no JDBC driver ships in this sandbox);
+    the dedup post-pass is group_to_first, oracle-verified elsewhere."""
+    import pytest
+    from pyontutils_spark.sources.tabular import read_sql_table
+    with pytest.raises(Exception) as ei:
+        read_sql_table(spark, "jdbc:sqlite:/tmp/nope.db", "t",
+                       dedup_key="id").collect()
+    assert "driver" in str(ei.value).lower() or \
+        "jdbc" in str(ei.value).lower()
