@@ -972,6 +972,56 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("hamming"))
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB dedup endgame composed end-to-end: MinHash-LSH
+    blocking -> exact Jaccard verify (>= 0.8) -> connected components
+    over the verified near-dup pairs (the same large-star/small-star
+    operator as sameas_components) -> one canonical representative
+    (min doc_id) + member count per duplicate cluster."""
+    from pyontutils_spark.operators.components import \
+        connected_components_ids
+    from pyontutils_spark.operators.dedup import (
+        jaccard_verify, lsh_candidate_pairs)
+    docs = _docs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(docs, k=_LSH_K, bands=_LSH_BANDS)
+    verified = jaccard_verify(docs, pairs, threshold=0.8)
+    edges = verified.select(F.col("id_a").alias("u"),
+                            F.col("id_b").alias("v"))
+    comp = connected_components_ids(edges)
+    return (comp.groupBy(F.col("component").alias("representative"))
+            .agg(F.count("*").alias("n_members")))
+
+
+def _q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation over the events table
+    read AS A STREAM (availableNow file source): 1-hour event-time
+    windows per event_type, complete-mode memory sink — the streamed
+    result must equal the batch hourly rollup."""
+    import tempfile
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir)
+              # watermarks need TIMESTAMP (parquet stores NTZ); the
+              # session tz is UTC so the cast preserves the wall clock
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour"), "event_type")
+           .agg(F.count("*").alias("n")))
+    out = agg.select(
+        F.unix_timestamp(F.col("window.start")).alias("hour_ts"),
+        "event_type", "n")
+    name = "stream_window_counts_out"
+    ckpt = tempfile.mkdtemp(prefix="stream_win_ckpt_")
+    q = (out.writeStream.outputMode("complete").format("memory")
+         .queryName(name).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT hour_ts, event_type, n FROM {name}")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "curie_expand": _q_curie_expand,
@@ -1025,6 +1075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_synthesis": _q_label_synthesis,
         "simhash_pairs": _q_simhash_pairs,
         "import_localize": _q_import_localize,
+        "dedup_clusters": _q_dedup_clusters,
+        "stream_window_counts": _q_stream_window_counts,
     }
 
 
@@ -1773,6 +1825,59 @@ def oracle_sql() -> dict[str, str]:
         FROM blk a JOIN blk b
           ON a.blk = b.blk AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.s, b.s)) <= 3
+        """
+
+    sqls["dedup_clusters"] = f"""
+        WITH hashed AS (
+          SELECT doc_id,
+                 list_distinct(list_transform({_sql_tokens("text")},
+                   t -> {_H32_SQL.format(x="t")})) AS hs
+          FROM documents
+        ),
+        sig AS (
+          SELECT doc_id, [{", ".join(lsh_parts)}] AS s
+          FROM hashed WHERE len(hs) > 0
+        ),
+        buckets AS ({" UNION ALL ".join(band_parts)}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+          FROM buckets a JOIN buckets c
+            ON a.band = c.band AND a.bucket = c.bucket
+           AND a.doc_id < c.doc_id
+        ),
+        toks AS (
+          SELECT doc_id, list_distinct({_sql_tokens("text")}) AS ts
+          FROM documents
+        ),
+        ver AS (
+          SELECT id_a, id_b
+          FROM cand JOIN toks a ON a.doc_id = cand.id_a
+               JOIN toks b ON b.doc_id = cand.id_b
+          WHERE len(list_intersect(a.ts, b.ts))::double
+                / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8
+        ),
+        und AS (
+          SELECT id_a AS a, id_b AS b FROM ver
+          UNION SELECT id_b, id_a FROM ver
+        ),
+        nodes AS (SELECT DISTINCT a AS n FROM und),
+        reach AS (
+          WITH RECURSIVE r(a, b) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT r.a, e.b FROM r JOIN und e ON r.b = e.a
+          ) SELECT * FROM r
+        ),
+        comp AS (SELECT a AS node, min(b) AS component
+                 FROM reach GROUP BY a)
+        SELECT component AS representative, count(*) AS n_members
+        FROM comp GROUP BY component
+        """
+
+    sqls["stream_window_counts"] = """
+        SELECT epoch(date_trunc('hour', ts))::bigint AS hour_ts,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
         """
 
     sqls["import_localize"] = f"""
