@@ -300,6 +300,36 @@ def parse_turtle(text: str, bnode_prefix: str = "") -> list[tuple]:
     return _Parser(text, bnode_prefix).parse()
 
 
+def extract_ontology_header(text: str) -> str:
+    """Bounded ontology-header scan: the prefix of the document up to
+    the end of the first stanza mentioning ``owl:Ontology`` — the
+    reference streams a remote file in 4096-byte chunks ONLY until the
+    header stanza completes (``pyontutils/core.py:298-379``, turtle
+    start/stop markers ``' owl:Ontology'``/``' .\\n'``; its own FIXME
+    notes the stop can be fooled by a literal containing ' .\\n' — same
+    caveat here).  In Spark the IO unit is the file, so the win is
+    bounding the PARSE: only this prefix is ever tokenized.  Returns
+    '' when the document has no ontology header."""
+    i = text.find(" owl:Ontology")
+    if i == -1:
+        i = text.find("http://www.w3.org/2002/07/owl#Ontology>")
+    if i == -1:
+        return ""
+    stop = text.find(" .\n", i)
+    if stop == -1:
+        stop = text.find(" .", i)
+        if stop == -1:
+            return ""
+    return text[:stop + 2]
+
+
+def parse_turtle_header(text: str, bnode_prefix: str = "") -> list[tuple]:
+    """Parse ONLY the ontology header (directives + first owl:Ontology
+    stanza) of a turtle document — the bounded-scan read path."""
+    header = extract_ontology_header(text)
+    return _Parser(header, bnode_prefix).parse() if header else []
+
+
 def parse_turtle_document(text: str, bnode_prefix: str = ""):
     """Like ``parse_turtle`` but also returns the document's prefix
     declarations and base: ``(triples, prefixes, base)``.  The nifttl

@@ -65,6 +65,49 @@ def ttlfmt(spark: SparkSession, in_path: str, out_path: str | None = None,
     return text
 
 
+class ontology_section:
+    """Per-section file rewrite (``ontologySection``,
+    ``pyontutils/ontutils.py:93-113``): split a nifttl file at the
+    first ``###`` (everything before it is the Ontology section), parse
+    ONLY that section, let the caller edit the triple rows, and on exit
+    write the re-serialized section back with the rest of the file
+    byte-untouched.
+
+    Usage::
+
+        with ontology_section(path) as sec:
+            sec.rows.append((iri, pred, obj, False, None, None))
+
+    ``sec.rows`` are engine triple rows; ``sec.prefixes`` the document
+    prefix block (rewritten culled to the section's needs, like the
+    reference's nifttl re-serialization of the section graph)."""
+
+    def __init__(self, filename: str):
+        from ..kernel.ttl import parse_turtle_document
+        self.filename = filename
+        with open(filename) as f:
+            raw = f.read()
+        ontraw, self.rest = raw.split("###", 1)
+        self.rows, self.prefixes, _base = parse_turtle_document(
+            ontraw, filename)
+
+    def write(self) -> None:
+        from ..kernel.nifttl import serialize_nifttl
+        out = serialize_nifttl(self.rows, self.prefixes)
+        ontraw, _comment = out.split("###", 1)
+        with open(self.filename, "w") as f:
+            f.write(ontraw)
+            f.write("###")
+            f.write(self.rest)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_value, traceback):
+        if exc_type is None:
+            self.write()
+
+
 def qnamefix(spark: SparkSession, in_path: str,
              out_path: str | None = None, prefix_map=None) -> str:
     """Cull/normalize the prefix block of a Turtle file: prefixes in

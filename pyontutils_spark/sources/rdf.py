@@ -208,6 +208,16 @@ def read_turtle_with_src(spark: SparkSession, paths) -> DataFrame:
         per_file, schema="src_file string, " + vocab.TRIPLE_SCHEMA)
 
 
+def read_ontology_headers(spark: SparkSession, path: str) -> DataFrame:
+    """Bounded ontology-header scan: triple rows from ONLY the prefix
+    block + first owl:Ontology stanza of each turtle file (the
+    reference streams a remote file until the header completes,
+    ``core.py:298-379``; the Spark analog bounds the parse — body
+    bytes are never tokenized)."""
+    from ..kernel.ttl import parse_turtle_header
+    return _per_file_source(spark, path, parse_turtle_header)
+
+
 def read_rdfxml(spark: SparkSession, path: str) -> DataFrame:
     """RDF/XML files -> triple rows (kernel/rdfxml.py per file)."""
     from ..kernel.rdfxml import parse_rdfxml

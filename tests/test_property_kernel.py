@@ -96,3 +96,61 @@ def test_token_set_ratio_bounded_and_symmetric(a, b):
     toks = set(local_degrade(a).split())
     if toks and toks == set(local_degrade(b).split()):
         assert r == 1.0
+
+
+# --- nifttl writer properties (no Spark, pure kernel) ---------------------
+
+def _nifttl_strategies():
+    from hypothesis import strategies as st
+    uri = st.sampled_from(
+        [f"http://ex.org/t{i}" for i in range(12)]
+        + [f"http://other.org/deep/x{i}" for i in range(4)])
+    pred = st.sampled_from(
+        ["http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://www.w3.org/2000/01/rdf-schema#label",
+         "http://www.w3.org/2000/01/rdf-schema#subClassOf",
+         "http://ex.org/p1", "http://ex.org/p2"])
+    lit_text = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=12)
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    literal = st.one_of(
+        st.tuples(lit_text, st.none(), st.none()),
+        st.tuples(lit_text, st.none(), st.just("en")),
+        st.tuples(st.integers(-99, 99).map(str), st.just(xsd + "integer"),
+                  st.none()),
+        st.tuples(st.sampled_from(["1.5", "0.25", "2.0"]),
+                  st.just(xsd + "decimal"), st.none()),
+        st.tuples(st.sampled_from(["true", "false"]),
+                  st.just(xsd + "boolean"), st.none()))
+    row = st.one_of(
+        st.tuples(uri, pred, uri).map(
+            lambda t: (t[0], t[1], t[2], False, None, None)),
+        st.tuples(uri, pred, literal).map(
+            lambda t: (t[0], t[1], t[2][0], True, t[2][1], t[2][2])))
+    return st.lists(row, min_size=1, max_size=30)
+
+
+def test_nifttl_deterministic_and_fixpoint_property():
+    """For arbitrary small uri/literal graphs: serialization is
+    shuffle-invariant and a parse->serialize fixpoint (idempotent)."""
+    import random as _random
+
+    from hypothesis import given, settings
+
+    from pyontutils_spark.kernel.nifttl import serialize_nifttl
+    from pyontutils_spark.kernel.ttl import parse_turtle_document
+
+    ns = {"ex": "http://ex.org/"}
+
+    @settings(max_examples=60, deadline=None)
+    @given(_nifttl_strategies())
+    def _prop(rows):
+        out = serialize_nifttl(rows, ns)
+        shuffled = list(rows)
+        _random.Random(11).shuffle(shuffled)
+        assert serialize_nifttl(shuffled, ns) == out
+        rows2, p2, _ = parse_turtle_document(out, "fixpoint")
+        assert serialize_nifttl(rows2, p2) == out
+
+    _prop()

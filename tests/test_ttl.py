@@ -319,3 +319,67 @@ def test_doubled_semicolons_legal():
     preds = sorted(r[1] for r in rows)
     assert preds == ["http://ex.org/p", "http://ex.org/p2",
                      "http://ex.org/p3"]
+
+
+def test_extract_ontology_header_bounded():
+    """Header scan parses only the directive block + ontology stanza."""
+    from pyontutils_spark.kernel.ttl import (
+        extract_ontology_header, parse_turtle_header)
+    text = ("@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+            "@prefix ex: <http://ex.org/> .\n"
+            "ex:ont a owl:Ontology ;\n"
+            "    owl:imports ex:other .\n"
+            "ex:body a owl:Class .\n" * 1000)
+    header = extract_ontology_header(text)
+    assert header.endswith("owl:imports ex:other .")
+    assert "ex:body" not in header
+    rows = parse_turtle_header(text)
+    subjects = {r[0] for r in rows}
+    assert subjects == {"http://ex.org/ont"}
+    preds = {r[1] for r in rows}
+    assert "http://www.w3.org/2002/07/owl#imports" in preds
+    # no ontology header -> empty
+    assert parse_turtle_header("@prefix ex: <http://e/> .\n"
+                               "ex:a ex:p ex:b .\n") == []
+
+
+def test_read_ontology_headers_source(spark, tmp_path):
+    from pyontutils_spark.sources.rdf import read_ontology_headers
+    (tmp_path / "a.ttl").write_text(
+        "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+        "@prefix ex: <http://ex.org/> .\n"
+        "ex:onta a owl:Ontology .\n"
+        "ex:classa a owl:Class .\n")
+    (tmp_path / "b.ttl").write_text(
+        "@prefix ex: <http://ex.org/> .\n"
+        "ex:noheader ex:p ex:q .\n")
+    rows = read_ontology_headers(spark, str(tmp_path)).collect()
+    assert {r.subj for r in rows} == {"http://ex.org/onta"}
+
+
+def test_ontology_section_rewrite(spark, tmp_path):
+    """ontologySection (ontutils.py:93-113): edit only the part before
+    the first '###'; the rest of the file is byte-untouched."""
+    from pyontutils_spark.plans.tools import ontology_section, ttlfmt
+    src = tmp_path / "o.ttl"
+    src.write_text(
+        "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+        "@prefix ex: <http://ex.org/> .\n"
+        "ex:ont a owl:Ontology .\n"
+        "ex:c a owl:Class ;\n"
+        "    ex:p \"body stays\" .\n")
+    ttlfmt(spark, str(src), str(src))  # nifttl layout with ### sections
+    before = src.read_text()
+    rest_before = before.split("###", 1)[1]
+    with ontology_section(str(src)) as sec:
+        sec.rows.append((
+            "http://ex.org/ont",
+            "http://www.w3.org/2002/07/owl#versionInfo",
+            "v2", True, None, None))
+    after = src.read_text()
+    assert 'owl:versionInfo "v2"' in after.split("###", 1)[0]
+    assert after.split("###", 1)[1] == rest_before
+    # and it still parses as one document
+    from pyontutils_spark.kernel.ttl import parse_turtle
+    assert any(p.endswith("versionInfo") for _, p, *_ in
+               parse_turtle(after))
