@@ -19,7 +19,8 @@ from ..sources.rdf import read_rdf, write_ntriples, write_turtle_string
 
 
 def ttlfmt(spark: SparkSession, in_path: str, out_path: str | None = None,
-           out_format: str = "nifttl", prefix_map=None) -> str:
+           out_format: str = "nifttl", prefix_map=None,
+           cull: bool = False) -> str:
     """Canonicalize an RDF file.  Returns the canonical text for
     turtle output (and writes it when ``out_path`` is given); for
     ``nt`` output writes the (distributed, deterministic) N-Triples
@@ -34,7 +35,7 @@ def ttlfmt(spark: SparkSession, in_path: str, out_path: str | None = None,
         import os
         from ..kernel.nifttl import serialize_nifttl
         from ..kernel.ttl import parse_turtle_document
-        if os.path.isfile(in_path):
+        if os.path.isfile(in_path) and not cull:
             with open(in_path) as f:
                 src = f.read()
             rows, prefixes, _base = parse_turtle_document(src, in_path)
@@ -111,6 +112,7 @@ class ontology_section:
 def qnamefix(spark: SparkSession, in_path: str,
              out_path: str | None = None, prefix_map=None) -> str:
     """Cull/normalize the prefix block of a Turtle file: prefixes in
-    the output are exactly those used by the triples, sorted — a
-    read->canonical-write pass (qnamefix.py semantics)."""
-    return ttlfmt(spark, in_path, out_path, "turtle", prefix_map)
+    the output are exactly those used by the triples (culled against
+    the curie table), nifttl layout — qnamefix.py semantics."""
+    return ttlfmt(spark, in_path, out_path, "nifttl", prefix_map,
+                  cull=True)

@@ -134,13 +134,13 @@ def write_nifttl_string(triples: DataFrame,
 
 def write_turtle_html_string(triples: DataFrame, prefix_map=None) -> str:
     """Hyperlinked-ttl presentation variant (HtmlTurtleSerializer,
-    ttlser/serializers.py:781-824): same canonical order, IRIs wrapped
-    in <a href>."""
+    ttlser/serializers.py:781-824 — a subclass of the nifttl
+    serializer in the reference too): nifttl layout, IRIs wrapped in
+    <a href>."""
     import html as _h
     import re as _re
 
-    pm = prefix_map or DEFAULT_PREFIXES
-    ttl = write_turtle_string(triples, pm)
+    ttl = write_nifttl_string(triples)
     esc = _h.escape(ttl)
 
     def link(m):
