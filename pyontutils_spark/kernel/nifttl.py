@@ -248,9 +248,9 @@ def normalize_literal(lex: str, dt, lang):
     return lex, dt, lang
 
 
-def litsort_key(term):
+def litsort_key(term, sortkey=natsort):
     """serializers.py:28-52 make_litsort: (0 bool) < (1 numeric) <
-    (2 datetime, naive first) < (3 natsort/datatype/lang)."""
+    (2 datetime, naive first) < (3 sortkey/datatype/lang)."""
     _, lex, dt, lang = term
     v = literal_value(lex, dt)
     if isinstance(v, bool):
@@ -262,7 +262,7 @@ def litsort_key(term):
     if isinstance(v, datetime):
         return (2, v.tzinfo is not None,
                 v if v.tzinfo is not None else v.replace(tzinfo=None))
-    return (3, natsort(lex), dt or "", lang or "")
+    return (3, sortkey(lex), dt or "", lang or "")
 
 
 # ---------------------------------------------------------------------------
@@ -504,6 +504,11 @@ class NifTtlSerializer:
     #: one-statement-per-line layout (CompactTurtleSerializer)
     _newline = True
     VERSION_COMMENT = VERSION_COMMENT
+    #: curated predicate priority + the natural-sort key — the two
+    #: knobs the reference's serializer family overrides
+    #: (DeterministicTurtleSerializer sets [] and identity)
+    PRED_ORDER = PREDICATE_ORDER
+    sortkey = staticmethod(natsort)
 
     def __init__(self, rows, namespaces: dict[str, str],
                  is_bnode=None):
@@ -587,19 +592,19 @@ class NifTtlSerializer:
         # predicate rank (serializers.py:433-444)
         preds = sorted(sorted({p[1] for (_, p, _) in g.triples}),
                        key=lambda u: (q.sort_qname(u),))
-        preds.sort(key=lambda u: natsort(q.sort_qname(u)))
-        order = [u for u in PREDICATE_ORDER if u in set(preds)]
-        order += [u for u in preds if u not in set(PREDICATE_ORDER)]
+        preds.sort(key=lambda u: self.sortkey(q.sort_qname(u)))
+        order = [u for u in self.PRED_ORDER if u in set(preds)]
+        order += [u for u in preds if u not in set(self.PRED_ORDER)]
         self.pred_rank = {("u", u): i for i, u in enumerate(order)}
         self.npreds = len(order)
         # object rank (serializers.py:446-458): literal objects double-
         # sorted, then all URIRefs anywhere double-sorted by qname
         lits = sorted({o for (_, _, o) in g.triples if o[0] == "l"},
                       key=_term_str)
-        lits.sort(key=litsort_key)
+        lits.sort(key=lambda t: litsort_key(t, self.sortkey))
         uris = sorted({t for tr in g.triples for t in tr if t[0] == "u"},
                       key=lambda t: q.sort_qname(t[1]))
-        uris.sort(key=lambda t: natsort(q.sort_qname(t[1])))
+        uris.sort(key=lambda t: self.sortkey(q.sort_qname(t[1])))
         self.object_rank = {t: i for i, t in enumerate(lits + uris)}
         self.max_or = (max(self.object_rank.values()) + 1
                        if self.object_rank else 1)
@@ -922,9 +927,9 @@ class NifTtlSerializer:
         self._parts = []
         self._serialized = set()
         self.depth = 0
-        # prefix block: double-sorted (plain, then (natsort(prefix), ns))
+        # prefix block: double-sorted (plain, then (sortkey(prefix), ns))
         ns_list = sorted(sorted(self.qnamer.namespaces.items()),
-                         key=lambda kv: (natsort(kv[0]), kv[1]))
+                         key=lambda kv: (self.sortkey(kv[0]), kv[1]))
         for prefix, uri in ns_list:
             self._write(f"@prefix {prefix}: <{uri}> .\n")
         sections = self._order_subjects()
@@ -980,11 +985,11 @@ class CompactTtlSerializer(NifTtlSerializer):
                 bump(o)
         compactable = sorted(sorted(
             v for v, c in counts.items() if c > 2 and len(v) > 10),
-            key=natsort)
+            key=self.sortkey)
         bound_ns = set(ns.values())
         taken = set(ns)
         symbols = sorted(sorted(make_symbol_prefixes(len(compactable))),
-                         key=natsort)
+                         key=self.sortkey)
         for sym, iri in zip(symbols, compactable):
             # bind(q, p, override=False): keep existing bindings
             if sym in taken or iri in bound_ns:
@@ -1002,3 +1007,114 @@ def serialize_compact(rows, namespaces: dict[str, str],
     same triple set (tested) and is deterministic under shuffled
     input."""
     return CompactTtlSerializer(rows, namespaces, is_bnode).serialize()
+
+
+class UncompactTtlSerializer(NifTtlSerializer):
+    """One-statement-per-line layout WITHOUT symbol prefixes
+    (``UncompactTurtleSerializer``, ``serializers.py:885-890``)."""
+    _newline = False
+    VERSION_COMMENT = ("### Serialized using the pyontutils_spark "
+                       "uncompact deterministic serializer v1.2.0")
+
+
+class DeterministicTtlSerializer(UncompactTtlSerializer):
+    """The graph-hashing layout (``DeterministicTurtleSerializer``,
+    ``serializers.py:893-897``): no curated predicate order (pure
+    qname sort) and an identity sortkey — used for ranking triples
+    when computing hashes of graphs."""
+    VERSION_COMMENT = ("### Serialized using the pyontutils_spark "
+                       "hashing deterministic serializer v1.2.0")
+    PRED_ORDER: list = []
+    sortkey = staticmethod(lambda v: v)
+
+
+class SubClassOfTtlSerializer(NifTtlSerializer):
+    """scottl (``SubClassOfTurtleSerializer``,
+    ``serializers.py:900-985``): within each topClass section, a
+    superclass/superproperty/imported ontology sorts BEFORE any of its
+    subs (longest-chain layer over the union of rdfs:subClassOf,
+    rdfs:subPropertyOf and owl:imports among URIRefs), ties broken by
+    the usual natsort-qname global rank.  The reference's own test
+    suite runs this serializer for determinism only (its byte-golden
+    comparison is marked 'not ready yet'), so the contract here is the
+    clean layering semantics + determinism, not byte parity with
+    scogood.ttl."""
+    VERSION_COMMENT = ("### Serialized using the pyontutils_spark "
+                       "subClassOf deterministic serializer v1.2.0")
+
+    _SUPER_PREDS = (RDFS_NS + "subClassOf", RDFS_NS + "subPropertyOf",
+                    OWL_NS + "imports")
+
+    def _rank_all(self):
+        super()._rank_all()
+        supers: dict = {}
+        for s, p, o in self.graph.triples:
+            if (p[1] in self._SUPER_PREDS and s[0] == "u"
+                    and o[0] == "u"):
+                supers.setdefault(s, set()).add(o)
+        layer: dict = {}
+
+        def depth(n, stack=()):
+            if n in layer:
+                return layer[n]
+            if n in stack:   # cycle: treat as layer 0, like sco:6
+                return 0
+            d = 1 + max((depth(p, stack + (n,))
+                         for p in supers.get(n, ())), default=-1)
+            layer[n] = d
+            return d
+
+        self._tc_layer = {n: depth(n) for n in supers}
+
+    def _top_class_sort_key(self, term):
+        if term[0] == "b":
+            return (0, self._global_sort_key(term), _term_str(term))
+        return (self._tc_layer.get(term, 0),
+                self._global_sort_key(term), _term_str(term))
+
+    def _order_subjects(self):
+        # identical to the base ordering but with the layer-aware key
+        # for topClass members (the reference overrides only
+        # _topClassSortKey, serializers.py:909-912)
+        g = self.graph
+        seen = set()
+        sections = []
+        for cls in TOP_CLASSES:
+            members = g.subjects_of_type(("u", cls))
+            members.sort(key=self._top_class_sort_key)
+            subjects = []
+            for m in members:
+                if m[0] == "b":
+                    if cls == RDFS_NS + "Datatype":
+                        continue
+                    if self._refs.get(m, 0) > 0:
+                        continue
+                subjects.append(m)
+                seen.add(m)
+            sections.append(subjects)
+        rest = [s for s in g.subjects if s not in seen]
+        rest.sort(key=lambda m: (self._global_sort_key(m), _term_str(m)))
+        noref = [s for s in rest
+                 if s[0] == "b" and self._refs.get(s, 0) == 0]
+        sections[-1].extend(noref)
+        sections.append([s for s in rest if s[0] != "b"])
+        return sections
+
+
+def serialize_scottl(rows, namespaces: dict[str, str],
+                     is_bnode=None) -> str:
+    """SubClassOf-ordered deterministic turtle (scottl)."""
+    return SubClassOfTtlSerializer(rows, namespaces, is_bnode).serialize()
+
+
+def serialize_uncompact(rows, namespaces: dict[str, str],
+                        is_bnode=None) -> str:
+    """One-line statements, full prefixes (uncmpttl)."""
+    return UncompactTtlSerializer(rows, namespaces, is_bnode).serialize()
+
+
+def serialize_det(rows, namespaces: dict[str, str],
+                  is_bnode=None) -> str:
+    """Graph-hashing layout: qname-only predicate order, raw sortkey."""
+    return DeterministicTtlSerializer(rows, namespaces,
+                                      is_bnode).serialize()

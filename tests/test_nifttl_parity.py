@@ -160,3 +160,65 @@ def test_make_symbol_prefixes():
     assert syms[:3] == ["A", "B", "C"]
     # every prefix starts with a letter (most-significant digit rule)
     assert all(s[0].isalpha() for s in syms)
+
+
+@needs_ref
+def test_uncompact_and_det_serializers():
+    """uncmpttl: one-line statements with FULL prefixes (no symbols);
+    det (hashing layout): qname-only predicate order, raw sortkey —
+    both deterministic fixpoints like the others."""
+    from pyontutils_spark.kernel.nifttl import (
+        serialize_det, serialize_uncompact)
+    text = (REF / "nasty.ttl").read_text()
+    rows, prefixes, _ = parse_turtle_document(text, "nasty.ttl")
+    from pyontutils_spark.kernel.nifttl import (
+        serialize_compact, serialize_nifttl)
+    un = serialize_uncompact(rows, prefixes)
+    # no symbol prefixes: same prefix block as nifttl, fewer than compact
+    n_pfx = serialize_nifttl(rows, prefixes).count("@prefix")
+    assert un.count("@prefix") == n_pfx
+    assert serialize_compact(rows, prefixes).count("@prefix") > n_pfx
+    assert ";\n" not in un and ",\n" not in un
+    r2, p2, _ = parse_turtle_document(un, "rt")
+    assert serialize_uncompact(r2, p2) == un  # fixpoint
+    det = serialize_det(rows, prefixes)
+    # no curated order: rdf:type ('a') is NOT forced first — e.g. the
+    # axiom stanzas start with their lowest-qname predicate
+    assert det != un
+    r3, p3, _ = parse_turtle_document(det, "rt")
+    assert serialize_det(r3, p3) == det
+
+
+def test_scottl_supers_before_subs():
+    """scottl: a superclass/superproperty/imported ontology statement
+    appears before any of its subs within a section; cycles don't
+    hang (sco:6 subClassOf sco:6)."""
+    from pyontutils_spark.kernel.nifttl import serialize_scottl
+    src = """@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix sco: <http://sco.lol/> .
+sco:0 a owl:Ontology ; owl:imports sco:1 .
+sco:1 a owl:Ontology .
+sco:7 a owl:Class ; rdfs:subClassOf sco:8 .
+sco:8 a owl:Class .
+sco:6 a owl:Class ; rdfs:subClassOf sco:6 .
+sco:2 a owl:AnnotationProperty ; rdfs:subPropertyOf sco:3 .
+sco:3 a owl:AnnotationProperty .
+"""
+    rows, prefixes, _ = parse_turtle_document(src, "sco")
+    out = serialize_scottl(rows, prefixes)
+    # imported ontology before the importer; superclass before sub;
+    # superproperty before sub (each within its own section)
+    assert out.index("sco:1 a owl:Ontology") < out.index(
+        "sco:0 a owl:Ontology")
+    assert out.index("sco:8 a owl:Class") < out.index(
+        "sco:7 a owl:Class")
+    assert out.index("sco:3 a owl:AnnotationProperty") < out.index(
+        "sco:2 a owl:AnnotationProperty")
+    # self-cycle present and did not hang
+    assert "sco:6" in out
+    # deterministic under shuffle
+    import random as _r
+    rs = list(rows)
+    _r.Random(5).shuffle(rs)
+    assert serialize_scottl(rs, prefixes) == out
