@@ -36,10 +36,18 @@ def run_triple_factory(spark: SparkSession, pages: DataFrame,
     # same Python pass (one Arrow round-trip instead of three).
     withtext = with_extracted_text(pages)
     ac_bc = mention_ops.broadcast_automaton(spark, lexicon, min_length)
+    # offset-bearing mention view (the annotate contract) — exposed for
+    # inspection/tests; lazy, so it only executes if consumed
     ments = mention_ops.detect_mentions_fused(pages, ac_bc,
                                               lang_filter=lang_filter)
+    # the triples DAG consumes only (url, pattern_norm): use the hybrid
+    # stage — pre-extracted rows match in pure JVM (whole-stage codegen,
+    # no Python), html rows extract+match in one fused Arrow pass
+    ments_for_link = mention_ops.detect_mentions_hybrid(
+        pages, lexicon, ac_bc, lang_filter=lang_filter,
+        min_length=min_length)
     cands = linking.candidates_df(spark, lexicon, min_length, best_only=True)
-    linked = linking.link_mentions(ments, cands)
+    linked = linking.link_mentions(ments_for_link, cands)
     # raw pages (url only) for the page-type triples — the extraction UDF
     # must not run for them; linked is persisted inside emit_triples.
     triples = emit.emit_triples(spark, pages, linked, lexicon)

@@ -132,6 +132,34 @@ def write_nifttl_string(triples: DataFrame,
     return serialize_nifttl(rows, namespaces)
 
 
+def nifttl_per_graph(triples: DataFrame, namespaces: dict,
+                     graph_col: str = "src_file") -> DataFrame:
+    """Distributed nifttl: serialize MANY graphs in parallel — one
+    deterministic nifttl document per ``graph_col`` group via
+    ``applyInPandas`` (the kernel serializer is pure Python, so each
+    worker renders its graphs independently).  This is the 100-TB shape
+    for the writer: a corpus of 10^4-10^6 ontology FILES serializes
+    with full cluster parallelism while each document keeps the exact
+    golden-tested byte layout.  Returns (graph_key, ttl) rows.
+
+    ``namespaces`` must be a plain dict (broadcast via closure); per-
+    graph prefix blocks can differ only through culling — pass the
+    union map and set ``cull`` semantics upstream if needed."""
+    from ..kernel.nifttl import serialize_nifttl
+
+    def per_graph(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[graph_col].iloc[0]
+        rows = list(zip(pdf["subj"], pdf["pred"], pdf["obj"],
+                        pdf["obj_is_literal"], pdf["obj_datatype"],
+                        pdf["obj_lang"]))
+        return pd.DataFrame(
+            {"graph_key": [key],
+             "ttl": [serialize_nifttl(rows, namespaces)]})
+
+    return (triples.groupBy(graph_col)
+            .applyInPandas(per_graph, schema="graph_key string, ttl string"))
+
+
 def write_turtle_html_string(triples: DataFrame, prefix_map=None) -> str:
     """Hyperlinked-ttl presentation variant (HtmlTurtleSerializer,
     ttlser/serializers.py:781-824 — a subclass of the nifttl

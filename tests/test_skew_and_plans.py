@@ -239,3 +239,19 @@ def test_detect_mentions_jvm_equals_fused(spark):
     assert jvm == fused and len(jvm) > 0
     plan = _plan(jvm_df)
     assert "EvalPython" not in plan  # no Python workers at all
+
+
+def test_detect_mentions_hybrid_equals_fused(spark):
+    """The hybrid stage (JVM for text rows + fused Python for html
+    rows) must produce exactly the fused stage's (url, pattern_norm)
+    multiset on a mixed corpus."""
+    from collections import Counter
+
+    from pyontutils_spark.operators import mentions as mo
+    pages = pages_df_local(spark, PAGES)
+    bc = mo.broadcast_automaton(spark, LEX)
+    fused = Counter((r.url, r.pattern_norm) for r in
+                    mo.detect_mentions_fused(pages, bc).collect())
+    hybrid = Counter((r.url, r.pattern_norm) for r in
+                     mo.detect_mentions_hybrid(pages, LEX, bc).collect())
+    assert hybrid == fused and sum(fused.values()) > 0

@@ -100,3 +100,32 @@ def test_read_obo_emits_header_triples(spark, tmp_path):
             "http://www.w3.org/2002/07/owl#Ontology") in got
     assert (ont, "http://www.w3.org/2002/07/owl#imports",
             "http://purl.obolibrary.org/obo/ro.owl") in got
+
+
+def test_nifttl_per_graph_distributed(spark, tmp_path):
+    """Distributed per-graph nifttl: N files in -> N deterministic
+    documents out via applyInPandas, each byte-equal to the
+    driver-side kernel serialization of the same graph."""
+    from pyontutils_spark.kernel.nifttl import serialize_nifttl
+    from pyontutils_spark.kernel.ttl import parse_turtle_document
+    from pyontutils_spark.sources.rdf import (
+        nifttl_per_graph, read_turtle_with_src)
+    ns = {"ex": "http://ex.org/",
+          "owl": "http://www.w3.org/2002/07/owl#"}
+    texts = {}
+    for i in range(4):
+        t = ("@prefix ex: <http://ex.org/> .\n"
+             "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+             f"ex:c{i} a owl:Class ;\n"
+             f"    ex:p \"v{i}\" .\n"
+             f"ex:d{i} a owl:Class .\n")
+        (tmp_path / f"g{i}.ttl").write_text(t)
+        texts[f"g{i}.ttl"] = t
+    df = read_turtle_with_src(spark, str(tmp_path))
+    out = {r.graph_key.rsplit("/", 1)[1]: r.ttl
+           for r in nifttl_per_graph(df, ns).collect()}
+    assert set(out) == set(texts)
+    for name, src_text in texts.items():
+        rows, _p, _ = parse_turtle_document(src_text, str(tmp_path) + "/" + name)
+        assert out[name] == serialize_nifttl(rows, ns)
+        assert "### Classes" in out[name]
