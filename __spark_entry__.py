@@ -972,6 +972,49 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("hamming"))
 
 
+_RANK_NS = "http://uri.interlex.org/base/"
+_RANK_TRIPLES = [
+    (_RANK_NS + "ilx_0000002", vocab.RDF_TYPE, _OWL + "Class", False),
+    (_RANK_NS + "ilx_0000002", vocab.RDFS_LABEL, "beta", True),
+    (_RANK_NS + "ilx_0000002", vocab.RDFS_LABEL, "alpha", True),
+    (_RANK_NS + "ilx_0000002", vocab.RDFS_SUBCLASSOF,
+     _RANK_NS + "ilx_0000001", False),
+    (_RANK_NS + "ilx_0000001", vocab.RDF_TYPE, _OWL + "Class", False),
+    (_RANK_NS + "ilx_0000001", vocab.RDFS_LABEL, "gamma", True),
+    (_RANK_NS + "ilx_0000010", vocab.OWL_SAMEAS,
+     _RANK_NS + "ilx_0000001", False),
+    (_RANK_NS + "ilx_0000010", vocab.RDFS_LABEL, "delta", True),
+]
+_RANK_VALUES = ", ".join(f"('{s}', '{p}', '{o}', {str(il).lower()})"
+                         for s, p, o, il in _RANK_TRIPLES)
+
+
+def _q_canonical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical emission order as explicit positions: section-major
+    (topClasses index; untyped -> remainder), then natsort-qname
+    subject rank, curated predicate rank, global object rank (literals
+    before IRIs, natsort within).  Fixture uses one namespace with
+    zero-padded locals so the oracle can rank lexicographically.  The
+    single-partition window is fixture-scale only — the production
+    path is the range-partitioned orderBy in canonical_order."""
+    from pyspark.sql import Window
+
+    from pyontutils_spark.operators.ordering import (
+        TOP_CLASSES, subject_sections, with_rank_columns)
+    t = spark.createDataFrame(
+        [(s, p, o, il, None, None) for s, p, o, il in _RANK_TRIPLES],
+        vocab.TRIPLE_SCHEMA)
+    secs = subject_sections(t)
+    r = (with_rank_columns(t)
+         .join(secs, "subj", "left")
+         .withColumn("section",
+                     F.coalesce("section", F.lit(len(TOP_CLASSES)))))
+    w = Window.orderBy("section", "subj_rank", "pred_rank", "obj_rank",
+                       "subj", "pred", "obj")
+    return r.select(F.row_number().over(w).alias("pos"),
+                    "subj", "pred", "obj")
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100-TB dedup endgame composed end-to-end: MinHash-LSH
     blocking -> exact Jaccard verify (>= 0.8) -> connected components
@@ -1077,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_localize": _q_import_localize,
         "dedup_clusters": _q_dedup_clusters,
         "stream_window_counts": _q_stream_window_counts,
+        "canonical_rank": _q_canonical_rank,
     }
 
 
@@ -1872,6 +1916,31 @@ def oracle_sql() -> dict[str, str]:
                  FROM reach GROUP BY a)
         SELECT component AS representative, count(*) AS n_members
         FROM comp GROUP BY component
+        """
+
+    sqls["canonical_rank"] = f"""
+        WITH t(subj, pred, obj, il) AS (VALUES {_RANK_VALUES}),
+        sec AS (SELECT DISTINCT subj, 7 AS section FROM t
+                WHERE pred = '{vocab.RDF_TYPE}'
+                  AND obj = '{_OWL}Class'),
+        r AS (
+          SELECT t.subj, t.pred, t.obj, t.il,
+                 coalesce(sec.section, 10) AS section,
+                 CASE t.pred
+                   WHEN '{vocab.RDF_TYPE}' THEN 0
+                   WHEN '{vocab.OWL_DEPRECATED}' THEN 1
+                   WHEN '{vocab.REPLACED_BY}' THEN 2
+                   WHEN '{vocab.RDFS_LABEL}' THEN 3
+                   WHEN '{vocab.NIFRID_SYNONYM}' THEN 4
+                   WHEN '{vocab.DEFINITION}' THEN 5
+                   WHEN '{vocab.RDFS_SUBCLASSOF}' THEN 6
+                   ELSE 7 END AS prank
+          FROM t LEFT JOIN sec ON sec.subj = t.subj)
+        SELECT row_number() OVER (
+                 ORDER BY section, subj, prank,
+                          (NOT il), obj) AS pos,
+               subj, pred, obj
+        FROM r
         """
 
     sqls["stream_window_counts"] = """
