@@ -989,6 +989,15 @@ _RANK_VALUES = ", ".join(f"('{s}', '{p}', '{o}', {str(il).lower()})"
                          for s, p, o, il in _RANK_TRIPLES)
 
 
+def _q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule flags: token-count bounds, mean word
+    length bounds, top-bigram repetition share — one explode + two
+    hash aggregations, no window."""
+    from pyontutils_spark.operators.textstats import gopher_quality_flags
+    return gopher_quality_flags(_docs(spark, sf_dir)) \
+        .withColumnRenamed("id", "doc_id")
+
+
 def _q_canonical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical emission order as explicit positions: section-major
     (topClasses index; untyped -> remainder), then natsort-qname
@@ -1121,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "stream_window_counts": _q_stream_window_counts,
         "canonical_rank": _q_canonical_rank,
+        "quality_rules": _q_quality_rules,
     }
 
 
@@ -1916,6 +1926,38 @@ def oracle_sql() -> dict[str, str]:
                  FROM reach GROUP BY a)
         SELECT component AS representative, count(*) AS n_members
         FROM comp GROUP BY component
+        """
+
+    sqls["quality_rules"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {_sql_tokens("text")} AS ts FROM documents
+        ),
+        base AS (
+          SELECT doc_id, len(ts) AS n_tokens,
+                 round(list_sum(list_transform(ts, t -> len(t)))::double
+                       / greatest(len(ts), 1) * 10000)::bigint
+                   AS mean_word_len_e4
+          FROM toks
+        ),
+        bg AS (
+          SELECT doc_id, len(ts) AS n,
+                 unnest(list_transform(
+                   generate_series(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i + 1])) AS bg
+          FROM toks WHERE len(ts) >= 2
+        ),
+        cnt AS (SELECT doc_id, n, bg, count(*) AS c
+                FROM bg GROUP BY 1, 2, 3),
+        top AS (SELECT doc_id,
+                       round(max(c)::double / (n - 1) * 10000)::bigint
+                         AS top_bigram_share_e4
+                FROM cnt GROUP BY doc_id, n)
+        SELECT b.doc_id, b.n_tokens, b.mean_word_len_e4,
+               coalesce(t.top_bigram_share_e4, 0) AS top_bigram_share_e4,
+               (b.n_tokens BETWEEN 5 AND 100000
+                AND b.mean_word_len_e4 BETWEEN 30000 AND 100000
+                AND coalesce(t.top_bigram_share_e4, 0) <= 3000) AS keep
+        FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id
         """
 
     sqls["canonical_rank"] = f"""

@@ -94,3 +94,63 @@ def fingerprint(text_col, n: int = 8) -> Column:
     t = F.lower(text_col)
     idx = F.sequence(F.lit(1), F.greatest(F.length(t) - n + 1, F.lit(1)))
     return F.array_min(F.transform(idx, lambda i: h32(t.substr(i, F.lit(n)))))
+
+
+def gopher_quality_flags(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         min_tokens: int = 5, max_tokens: int = 100_000,
+                         min_mean_word_len: float = 3.0,
+                         max_mean_word_len: float = 10.0,
+                         max_bigram_share: float = 0.30) -> DataFrame:
+    """Gopher-style document quality rules (the rule family of the
+    Gopher/MassiveText filtering pipeline, applied as pure relational
+    ops): per document —
+
+    - ``n_tokens`` within [min_tokens, max_tokens]
+    - mean word length within [min, max]
+    - top-2-gram repetition share <= max_bigram_share (boilerplate /
+      degenerate repetition detector)
+
+    Returns (id, n_tokens, mean_word_len_e4, top_bigram_share_e4,
+    keep) with ratios as integer 1e4-scaled values (cross-engine
+    hashable).  Plan shape: one explode + two hash aggregations (the
+    bigram count and its per-doc max) then a broadcast-size join back
+    — scale-safe, no window over the corpus."""
+    toks = docs.select(F.col(id_col).alias("id"),
+                       tokens_col(F.col(text_col)).alias("ts"))
+    base = toks.select(
+        "id", F.size("ts").alias("n_tokens"),
+        F.round(F.aggregate("ts", F.lit(0).cast("long"),
+                            lambda a, t: a + F.length(t))
+                / F.greatest(F.size("ts"), F.lit(1)) * 10_000)
+        .cast("long").alias("mean_word_len_e4"))
+    bigrams = toks.select(
+        "id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("ts") - 1, F.lit(1))),
+            _bigram_at("ts"))).alias("bg"),
+        F.size("ts").alias("n"))
+    top = (bigrams.filter(F.col("n") >= 2)
+           .groupBy("id", "n", "bg").agg(F.count("*").alias("c"))
+           .groupBy("id", "n").agg(F.max("c").alias("maxc"))
+           .select("id", F.round(F.col("maxc") / (F.col("n") - 1)
+                                 * 10_000).cast("long")
+                   .alias("top_bigram_share_e4")))
+    out = (base.join(top, "id", "left")
+           .withColumn("top_bigram_share_e4",
+                       F.coalesce("top_bigram_share_e4", F.lit(0))))
+    keep = ((F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+            & (F.col("mean_word_len_e4") >= int(min_mean_word_len * 10_000))
+            & (F.col("mean_word_len_e4") <= int(max_mean_word_len * 10_000))
+            & (F.col("top_bigram_share_e4")
+               <= int(max_bigram_share * 10_000)))
+    return out.withColumn("keep", keep)
+
+
+def _bigram_at(ts_col: str):
+    # closure factory (pyspark inspects lambda arity)
+    def f(i):
+        return F.concat_ws(" ", F.element_at(ts_col, i),
+                           F.element_at(ts_col, i + 1))
+    return f

@@ -340,3 +340,21 @@ def test_lsh_blocking_ratio_small_on_distinct_corpus(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     ratio = lsh_blocking_ratio(df, k=16, bands=4)
     assert ratio < 0.02, ratio
+
+
+def test_gopher_quality_flags(spark):
+    from pyontutils_spark.operators.textstats import gopher_quality_flags
+    rows = [
+        (1, "a normal document with reasonably varied wording here"),
+        (2, "spam spam spam spam spam spam spam spam spam spam"),
+        (3, "too short"),
+        (4, "x y z " * 5),  # mean word length 1 -> too low
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in gopher_quality_flags(
+        df, min_tokens=4, min_mean_word_len=2.0).collect()}
+    assert got[1].keep
+    # 'spam spam' bigram repeats 9/9 times -> share 10000
+    assert got[2].top_bigram_share_e4 == 10_000 and not got[2].keep
+    assert not got[3].keep          # below min_tokens
+    assert not got[4].keep          # mean word length 1.0 < 2.0
