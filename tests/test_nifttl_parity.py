@@ -44,6 +44,24 @@ def test_byte_identical_to_golden(nasty, good):
     assert _body(out).encode() == (REF / good).read_bytes()
 
 
+REF2 = Path("/root/reference/test")
+
+
+@pytest.mark.skipif(not REF2.exists(), reason="reference not present")
+@pytest.mark.parametrize("name", ["prefix.ttl", "example_neurons.ttl"])
+def test_byte_identical_on_reference_serialized_files(name):
+    """The reference repo's own ttlser-serialized files (written by the
+    'nifstd custom serializer') must round-trip byte-identically:
+    prefix.ttl is a 26k-statement longest-prefix stress test with 26
+    nested namespaces and empty local names; example_neurons.ttl has
+    deeply nested equivalentClass/intersectionOf/unionOf bnodes and a
+    symmetric disjointWith on a bnode object."""
+    text = (REF2 / name).read_text()
+    rows, prefixes, _ = parse_turtle_document(text, name)
+    out = serialize_nifttl(rows, prefixes)
+    assert _body(out) == text.rsplit("\n", 2)[0]
+
+
 @needs_ref
 def test_deterministic_under_shuffle():
     """Shuffled triple-row order, shuffled prefix-dict order, and a
