@@ -54,6 +54,62 @@ def id_fix(ident: str) -> str:
     return OBO_PURL + ident
 
 
+def parse_trailing_modifiers(line: str):
+    """OBO trailing modifiers ``{k="v", k2="v2"}`` (the TVPair modifier
+    semantics exercised by the reference's ``test/test_oboio.py``
+    vectors): the modifier block is the last brace pair whose braces
+    are OUTSIDE quotes; quoted values may contain braces, commas and
+    ``!``.  Returns (pairs, start, end) — pairs as a tuple of (key,
+    value) tuples; start/end are the block's brace indices in ``line``
+    (-1, -1 when absent)."""
+    in_q = False
+    opens = []
+    for i, c in enumerate(line):
+        if c == '"':
+            in_q = not in_q
+        elif c == "{" and not in_q:
+            opens.append(i)
+    for start in reversed(opens):
+        in_q = False
+        for j in range(start + 1, len(line)):
+            c = line[j]
+            if c == '"':
+                in_q = not in_q
+            elif c == "}" and not in_q:
+                parts = []
+                cur = []
+                q2 = False
+                for ch in line[start + 1:j]:
+                    if ch == '"':
+                        q2 = not q2
+                        cur.append(ch)
+                    elif ch == "," and not q2:
+                        parts.append("".join(cur))
+                        cur = []
+                    else:
+                        cur.append(ch)
+                if cur:
+                    parts.append("".join(cur))
+                pairs = []
+                for p in parts:
+                    k, _, v = p.strip().partition("=")
+                    v = v.strip()
+                    if v.startswith('"') and v.endswith('"') and len(v) >= 2:
+                        v = v[1:-1]
+                    pairs.append((k.strip(), v))
+                return tuple(pairs), start, j
+    return (), -1, -1
+
+
+def strip_trailing_modifiers(value: str) -> tuple[str, tuple]:
+    """Remove a trailing modifier block from a tag value (it must be
+    the last non-whitespace content); returns (clean_value, pairs)."""
+    pairs, start, end = parse_trailing_modifiers(value)
+    if pairs and value[end + 1:].strip() == "":
+        return value[:start].rstrip(), pairs
+    return value, ()
+
+
 def parse_obo(text: str) -> dict:
     """OBO document -> {'header': {tag: [values]},
     'stanzas': [{'type': 'Term'|'Typedef'|'Instance', tag: [values]}]}."""
@@ -74,6 +130,9 @@ def parse_obo(text: str) -> dict:
         if not m:
             continue
         tag, value = m.group(1), _strip_comment(m.group(2)).strip()
+        # trailing modifiers ({source="X", ...}) are metadata, not part
+        # of the value — strip so ids/literals parse clean
+        value, _mods = strip_trailing_modifiers(value)
         if cur is None:
             header.setdefault(tag, []).append(value)
         else:

@@ -261,3 +261,42 @@ def: "a def with bang! inside" [ref]
     assert pv and pv[0][2] == "use this! carefully"
     d = [t for t in triples if t[1].endswith("IAO_0000115")]
     assert d and d[0][2] == "a def with bang! inside"
+
+
+def test_obo_trailing_modifiers():
+    """The reference's modifier-parsing vectors
+    (test/test_oboio.py:13-21): braces/commas inside quoted values are
+    data; the block is the last unquoted brace pair."""
+    from pyontutils_spark.kernel.obo import (
+        parse_obo, parse_trailing_modifiers, stanza_triples)
+    vectors = [
+        ('relationship: part_of UBERON:0000949 '
+         '{source="AAO", source="FMA", source="XAO"} ! endocrine system',
+         (("source", "AAO"), ("source", "FMA"), ("source", "XAO"))),
+        ('{oh="look", a="thing!"}', (("oh", "look"), ("a", "thing!"))),
+        ('some randome values {oh="look", a="thing!"} ! yay!',
+         (("oh", "look"), ("a", "thing!"))),
+        ('some rando}me values {oh="l{ook", a="t{hing!"} ! yay!',
+         (("oh", "l{ook"), ("a", "t{hing!"))),
+        ('some rando}me values {oh="l{ook", a="t}hing!"} ! yay!',
+         (("oh", "l{ook"), ("a", "t}hing!"))),
+    ]
+    for line, want in vectors:
+        got, _s, _e = parse_trailing_modifiers(line)
+        assert got == want, (line, got)
+    # end-to-end: modifiers stripped from relationship values so the
+    # target id parses clean
+    doc = parse_obo(
+        "[Term]\nid: X:1\n"
+        'relationship: part_of UBERON:0000949 '
+        '{source="AAO"} ! endocrine system\n')
+    st = doc["stanzas"][0]
+    assert st["relationship"] == ["part_of UBERON:0000949"]
+    rel = [t for t in stanza_triples(st)
+           if t[1].endswith("part_of")]
+    assert rel and rel[0][2].endswith("UBERON_0000949")
+    # braces inside a quoted def are preserved
+    doc2 = parse_obo('[Term]\nid: X:2\ndef: "has {braces} inside" [r]\n')
+    d = [t for t in stanza_triples(doc2["stanzas"][0])
+         if t[1].endswith("IAO_0000115")]
+    assert d and d[0][2] == "has {braces} inside"
