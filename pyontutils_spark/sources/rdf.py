@@ -77,7 +77,15 @@ def _unescape_udf(s: pd.Series) -> pd.Series:
 
 
 def write_ntriples(triples: DataFrame, path: str) -> None:
-    """Canonically ordered N-Triples dump (JVM-side formatting)."""
+    """Canonically ordered N-Triples dump (JVM-side formatting).
+
+    Scale boundary: the final ``coalesce(1)`` is inherent to "one
+    canonical text file" — the sort itself is a distributed
+    range-partitioned orderBy, but the write funnels through one task.
+    Use this for ontology-file-sized graphs (the ttlfmt nt target); the
+    bulk corpus path is the partitioned catalog
+    (``plans/catalog.write_triples``) or ``nifttl_per_graph`` for
+    many-files output."""
     lit = F.concat(
         F.lit('"'),
         F.regexp_replace(F.regexp_replace(F.regexp_replace(
