@@ -1029,7 +1029,13 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking -> exact Jaccard verify (>= 0.8) -> connected components
     over the verified near-dup pairs (the same large-star/small-star
     operator as sameas_components) -> one canonical representative
-    (min doc_id) + member count per duplicate cluster."""
+    (min doc_id) + member count per duplicate cluster.
+
+    At full scale the pairwise candidate graph of a dup-heavy corpus is
+    quadratic per bucket; ``dedup.lsh_bucket_star_edges`` provides the
+    O(k)-edges-per-bucket star alternative (component-equivalent,
+    tested) — this query keeps the pairwise form because its oracle
+    verifies every pair."""
     from pyontutils_spark.operators.components import \
         connected_components_ids
     from pyontutils_spark.operators.dedup import (

@@ -171,6 +171,42 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b").distinct())
 
 
+def lsh_bucket_star_edges(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 16,
+                          bands: int = 4) -> DataFrame:
+    """Candidate edges for near-dup CLUSTERING at 100-TB scale: instead
+    of all O(k²) pairs per band bucket (``lsh_candidate_pairs`` — right
+    for pairwise verify, quadratic for a dup-heavy corpus), emit one
+    STAR per bucket: every member connects to the bucket's min id —
+    O(k) edges per bucket, and the star spans exactly the same
+    connected components as the full pairwise bucket graph.  Feed the
+    result to ``components.connected_components_ids`` (optionally
+    Jaccard-verifying the star edges first; note verification on star
+    edges alone can split a true clique whose min-member happens to be
+    the outlier — verify-then-cluster on stars is a recall/cost knob,
+    documented, while cluster-then-verify keeps exact bucket
+    connectivity).  Returns (u, v) with u = bucket min, v = member."""
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_df(docs.select(id_col, text_col), id_col, text_col, k)
+    buckets = None
+    for b in range(bands):
+        band = (sig.select(
+            F.col(id_col).alias("id"),
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[
+                F.element_at("minhash", b * r + j + 1).cast("string")
+                for j in range(r)])).alias("bucket")))
+        buckets = band if buckets is None else buckets.unionByName(band)
+    # agg + equi-join rather than collect_set: a pathological bucket
+    # with 10^6 members must not materialize as one array row
+    mins = buckets.groupBy("band", "bucket").agg(F.min("id").alias("u"))
+    return (buckets.join(mins, ["band", "bucket"])
+            .select("u", F.col("id").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
 def lsh_blocking_ratio(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 16,
                        bands: int = 4) -> float:

@@ -358,3 +358,24 @@ def test_gopher_quality_flags(spark):
     assert got[2].top_bigram_share_e4 == 10_000 and not got[2].keep
     assert not got[3].keep          # below min_tokens
     assert not got[4].keep          # mean word length 1.0 < 2.0
+
+
+def test_lsh_star_edges_same_components_as_pairs(spark, docs):
+    """The per-bucket star graph must span exactly the same connected
+    components as the full pairwise bucket graph (that is the whole
+    point: O(k) edges per bucket instead of O(k^2))."""
+    from pyontutils_spark.operators.components import \
+        connected_components_ids
+    from pyontutils_spark.operators.dedup import (
+        lsh_bucket_star_edges, lsh_candidate_pairs)
+    d = docs.limit(150)
+    pairs = lsh_candidate_pairs(d, k=16, bands=4) \
+        .selectExpr("id_a AS u", "id_b AS v")
+    stars = lsh_bucket_star_edges(d, k=16, bands=4)
+    cp = {r.node: r.component
+          for r in connected_components_ids(pairs).collect()}
+    cs = {r.node: r.component
+          for r in connected_components_ids(stars).collect()}
+    assert cp == cs and len(cp) > 0
+    # and the star edge set is no larger than the pair set
+    assert stars.count() <= pairs.count()
