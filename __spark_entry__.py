@@ -93,8 +93,13 @@ _MINHASH_K = 8
 # ~0.5 and kept 63% of all pairs on this corpus: blocking collapse.)
 _LSH_K = 16
 _LSH_BANDS = 4
+# list_filter(t -> t != '') mirrors Spark's tokens_col empty-token
+# filter: DuckDB string_split on empty/all-non-alnum text returns ['']
+# (len 1) where Spark returns [] — without the guard any zero-token doc
+# would skew n_tokens/mean_word_len oracles.
 _TOKEN_CLEAN_SQL = (
-    "string_split(trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g')), ' ')")
+    "list_filter(string_split(trim(regexp_replace(lower({col}), "
+    "'[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '')")
 _H32_SQL = "('0x' || substr(md5({x}), 1, 8))::ubigint::bigint"
 
 

@@ -88,7 +88,11 @@ def jvm_mention_pattern(lexicon: list[dict], min_length: int = 3) -> str:
     ordered = sorted((p for p in pats if len(p) >= min_length),
                      key=lambda p: (-len(p), p))
     alternation = "|".join(_re.escape(p) for p in ordered)
-    return (f"(?i){_JAVA_BOUNDARY_L}(?:{alternation})"
+    # (?iu) = CASE_INSENSITIVE + UNICODE_CASE: Java's bare (?i) folds
+    # ASCII only, which would miss e.g. 'MÜLLER CELL' against pattern
+    # 'müller cell' while the AC/fused path folds with Python
+    # str.lower() (full Unicode).
+    return (f"(?iu){_JAVA_BOUNDARY_L}(?:{alternation})"
             f"{_JAVA_BOUNDARY_R}")
 
 

@@ -124,10 +124,17 @@ def gopher_quality_flags(docs: DataFrame, id_col: str = "doc_id",
                             lambda a, t: a + F.length(t))
                 / F.greatest(F.size("ts"), F.lit(1)) * 10_000)
         .cast("long").alias("mean_word_len_e4"))
+    # total generator: docs with <2 tokens yield an empty index array
+    # (explode drops them) instead of relying on the n>=2 filter being
+    # pushed below the Generate — element_at(ts, i+1) would throw
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode if a
+    # materialization barrier ever blocked that pushdown.
     bigrams = toks.select(
         "id",
         F.explode(F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("ts") - 1, F.lit(1))),
+            F.when(F.size("ts") >= 2,
+                   F.sequence(F.lit(1), F.size("ts") - 1))
+            .otherwise(F.array().cast("array<int>")),
             _bigram_at("ts"))).alias("bg"),
         F.size("ts").alias("n"))
     top = (bigrams.filter(F.col("n") >= 2)

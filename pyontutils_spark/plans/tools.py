@@ -88,6 +88,12 @@ class ontology_section:
         self.filename = filename
         with open(filename) as f:
             raw = f.read()
+        if "###" not in raw:
+            raise ValueError(
+                f"{filename}: no '###' section separator found — "
+                "ontology_section rewrites only nifttl files with a "
+                "'### Annotations'-style section comment after the "
+                "Ontology section (ontutils.py ontologySection shape)")
         ontraw, self.rest = raw.split("###", 1)
         self.rows, self.prefixes, _base = parse_turtle_document(
             ontraw, filename)

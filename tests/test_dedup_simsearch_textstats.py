@@ -379,3 +379,18 @@ def test_lsh_star_edges_same_components_as_pairs(spark, docs):
     assert cp == cs and len(cp) > 0
     # and the star edge set is no larger than the pair set
     assert stars.count() <= pairs.count()
+
+
+def test_gopher_total_on_tiny_docs(spark):
+    """The bigram generator must be total under ANSI mode: docs with
+    <2 tokens produce an empty index array (no element_at past the
+    end), not a crash whenever Catalyst fails to push the n>=2 filter
+    below the Generate."""
+    from pyontutils_spark.operators.textstats import gopher_quality_flags
+    rows = [(1, "one"), (2, ""), (3, "...!!!"), (4, "two tokens")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in gopher_quality_flags(df).collect()}
+    assert got[1].n_tokens == 1 and got[1].top_bigram_share_e4 == 0
+    assert got[2].n_tokens == 0 and got[3].n_tokens == 0
+    assert got[4].top_bigram_share_e4 == 10_000
+    assert not any(got[i].keep for i in (1, 2, 3))

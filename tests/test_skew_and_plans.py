@@ -255,3 +255,24 @@ def test_detect_mentions_hybrid_equals_fused(spark):
     hybrid = Counter((r.url, r.pattern_norm) for r in
                      mo.detect_mentions_hybrid(pages, LEX, bc).collect())
     assert hybrid == fused and sum(fused.values()) > 0
+
+
+def test_detect_mentions_jvm_unicode_case_fold(spark):
+    """Java's bare (?i) folds ASCII only — the generated pattern must
+    use (?iu) so a non-ASCII uppercase surface ('MÜLLER CELL') matches
+    a lowercase lexicon entry exactly like the fused path's Python
+    str.lower() folding does."""
+    from pyontutils_spark.operators import mentions as mo
+    lex = [dict(term_id=1, label_norm="müller cell", curie="X:1",
+                iri="http://e/1", synonyms=[])]
+    rows = [("u1", None, None, "the MÜLLER CELL was observed", "en"),
+            ("u2", None, None, "plain müller cell too", "en")]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    bc = mo.broadcast_automaton(spark, lex)
+    fused = sorted((r.url, r.pattern_norm) for r in
+                   mo.detect_mentions_fused(pages, bc).collect())
+    jvm = sorted((r.url, r.pattern_norm) for r in
+                 mo.detect_mentions_jvm(pages, lex).collect())
+    assert jvm == fused == [("u1", "müller cell"), ("u2", "müller cell")]

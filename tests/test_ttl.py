@@ -383,3 +383,13 @@ def test_ontology_section_rewrite(spark, tmp_path):
     from pyontutils_spark.kernel.ttl import parse_turtle
     assert any(p.endswith("versionInfo") for _, p, *_ in
                parse_turtle(after))
+
+
+def test_ontology_section_no_separator(tmp_path):
+    """A file without the '###' section comment must fail with a
+    descriptive error, not a bare unpack ValueError."""
+    from pyontutils_spark.plans.tools import ontology_section
+    p = tmp_path / "nosec.ttl"
+    p.write_text("@prefix : <http://x/> .\n:a :b :c .\n")
+    with pytest.raises(ValueError, match="section separator"):
+        ontology_section(str(p))
