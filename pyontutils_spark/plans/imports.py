@@ -11,15 +11,23 @@ chase is a driver loop like the engine's other bounded BFS operators —
 but each round's parsing runs through the per-file Spark source
 (``read_rdf``'s mapInPandas), so a 10k-file closure still parses with
 full parallelism; only the tiny (ontology, import) edge set is
-collected per round.  Rewritten files are serialized with the
-byte-compatible nifttl writer, preserving each document's own prefix
-block (what the reference's in-place rewrite does).
+collected per round.  The rewrite is distributed too: the closure's
+paths become a DataFrame and each task does read -> parse -> rewrite
+-> nifttl-serialize -> write-in-place (``rewrite_imports_distributed``,
+same pure-Python-kernel-in-``mapInPandas`` shape as
+``nifttl_per_graph``), so a 10k-file closure rewrites with full
+parallelism; the driver holds only the BFS frontier.  Requires a
+filesystem the executors share with the driver (local mode, NFS,
+fuse-mounted object store) — the same contract the per-file read
+source already has.  Each document keeps its own prefix block (what
+the reference's in-place rewrite does).
 """
 
 from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import vocab
@@ -97,35 +105,70 @@ def localize_imports(spark: SparkSession, starts: list[str],
       return value (ontload.py:445-455,490)
     - localized_edges: (src_file, ont_iri, file://local) after rewrite
     """
-    from ..kernel.nifttl import serialize_nifttl
-    from ..kernel.ttl import parse_turtle_document
-
     done, edges, sameas = chase_imports(
         spark, starts, remote_base, local_base, max_rounds)
     localized = []
-    by_file: dict[str, list] = {}
     for src, s, o in edges:
-        by_file.setdefault(src, []).append((s, o))
         local = _to_local(o, remote_base, local_base)
         if local != o and not o.startswith("file://"):
             localized.append((src, s, "file://" + local))
         else:
             localized.append((src, s, o))
     if write:
-        for path in done:
-            with open(path) as f:
-                text = f.read()
-            rows, prefixes, _base = parse_turtle_document(text, path)
-            out_rows = []
-            for (s, p, o, il, dt, lang) in rows:
-                if p == OWL_IMPORTS and not il:
-                    local = _to_local(o, remote_base, local_base)
-                    if local != o and not o.startswith("file://"):
-                        o = "file://" + local
-                out_rows.append((s, p, o, il, dt, lang))
-            with open(path, "w") as f:
-                f.write(serialize_nifttl(out_rows, prefixes))
+        rewrite_imports_distributed(
+            spark, done, remote_base, local_base).collect()
     prov = sorted(
         {(s, vocab.OWL_SAMEAS, path) for s, path in sameas}
         | {(s, OWL_IMPORTS, o) for _, s, o in edges})
     return prov, localized
+
+
+def rewrite_imports_distributed(spark: SparkSession, paths: list[str],
+                                remote_base: str,
+                                local_base: str) -> DataFrame:
+    """Distributed in-place imports rewrite: one DataFrame row per file
+    path; each task reads its file, parses it with the pure-Python
+    turtle kernel, maps remote ``owl:imports`` objects to
+    ``file://<local>``, re-serializes with the byte-compatible nifttl
+    writer (the document's own prefix block preserved) and writes it
+    back — the same kernel-in-``mapInPandas`` shape as
+    ``nifttl_per_graph`` (sources/rdf.py), so a 10k-file closure
+    rewrites with full cluster parallelism instead of a driver loop.
+
+    Returns (path, n_rewritten, n_bytes) rows — lazy; the caller's
+    ``.collect()`` is the write barrier.  Executors must share the
+    driver's filesystem (true in local mode and on NFS/fuse mounts)."""
+    from ..kernel.nifttl import serialize_nifttl
+    from ..kernel.ttl import parse_turtle_document
+
+    n_part = max(1, min(len(paths),
+                        spark.sparkContext.defaultParallelism * 2))
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string") \
+        .repartition(n_part)
+
+    def rewrite(batches):
+        for b in batches:
+            out = {"path": [], "n_rewritten": [], "n_bytes": []}
+            for path in b["path"]:
+                with open(path) as f:
+                    text = f.read()
+                rows, prefixes, _base = parse_turtle_document(text, path)
+                out_rows = []
+                n_rw = 0
+                for (s, p, o, il, dt, lang) in rows:
+                    if p == OWL_IMPORTS and not il:
+                        local = _to_local(o, remote_base, local_base)
+                        if local != o and not o.startswith("file://"):
+                            o = "file://" + local
+                            n_rw += 1
+                    out_rows.append((s, p, o, il, dt, lang))
+                doc = serialize_nifttl(out_rows, prefixes)
+                with open(path, "w") as f:
+                    f.write(doc)
+                out["path"].append(path)
+                out["n_rewritten"].append(n_rw)
+                out["n_bytes"].append(len(doc))
+            yield pd.DataFrame(out)
+
+    return pdf.mapInPandas(
+        rewrite, schema="path string, n_rewritten int, n_bytes long")

@@ -138,3 +138,35 @@ def test_local_imports_end_to_end(spark, tmp_path):
         spark, [f"{local}/root.ttl"], remote, local)
     same2 = {(s, o) for s, p, o in prov2 if p == sameas}
     assert same2 == {(f"{remote}/root.ttl", f"{local}/root.ttl")}
+
+
+def test_localize_imports_distributed_rewrite(spark, tmp_path):
+    """The in-place rewrite must run as a distributed mapInPandas
+    stage over a (path) DataFrame — not a driver-serial loop: localize
+    a 120-file closure, assert every file got rewritten, and assert
+    the rewrite plan contains the distributed stage."""
+    from pyontutils_spark.plans.imports import (
+        localize_imports, rewrite_imports_distributed)
+    remote, local, n = "http://remote.org/onts", str(tmp_path), 120
+    owl = "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+    kids = ", ".join(f"<{remote}/c{i}.ttl>" for i in range(1, n))
+    (tmp_path / "root.ttl").write_text(
+        f"{owl}<{remote}/root.ttl> a owl:Ontology ;\n"
+        f"    owl:imports {kids} .\n")
+    for i in range(1, n):
+        (tmp_path / f"c{i}.ttl").write_text(
+            f"{owl}<{remote}/c{i}.ttl> a owl:Ontology ;\n"
+            f"    owl:imports <{remote}/root.ttl> .\n")
+    prov, _ = localize_imports(
+        spark, [f"{local}/root.ttl"], remote, local)
+    sameas = "http://www.w3.org/2002/07/owl#sameAs"
+    assert len({(s, o) for s, p, o in prov if p == sameas}) == n
+    for i in (1, 57, n - 1):  # every child's import of root localized
+        assert (f"<file://{local}/root.ttl>"
+                in (tmp_path / f"c{i}.ttl").read_text())
+    assert f"<file://{local}/c1.ttl>" in (tmp_path / "root.ttl").read_text()
+    stats = rewrite_imports_distributed(
+        spark, [f"{local}/root.ttl"], remote, local)
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert stats.collect()[0].n_rewritten == 0  # already file://, no-op
