@@ -96,6 +96,10 @@ def main() -> None:
            .groupBy((F.col("id") % 10).alias("g")).count())
 
     # --- headline operator queries ---------------------------------------
+    # Interleaved best-of-2: the shared host's throughput drifts ~2x over
+    # tens of minutes, so each query runs in TWO passes over the whole
+    # list (samples spread across throttling windows); the min is
+    # reported, raw runs retained — same discipline as the graph benches.
     qs = entrymod.queries()
     bench_queries = [
         "q1_pricing_summary", "top_orders_by_revenue", "top_events_per_user",
@@ -103,16 +107,42 @@ def main() -> None:
         "minhash", "simhash", "token_quality", "lang_id", "jaccard_pairs",
         "embedding_topk", "sameas_components", "transitive_closure",
     ]
+    q_runs: dict[str, list[float]] = {n: [] for n in bench_queries}
+    for _ in range(2):
+        for name in bench_queries:
+            t0 = time.perf_counter()
+            _force(qs[name](spark, SF_DIR))
+            q_runs[name].append(round(time.perf_counter() - t0, 3))
     for name in bench_queries:
+        timings[name] = min(q_runs[name])
+    extras["query_runs_sec"] = q_runs
+
+    # --- distributed nifttl writer at corpus scale (5k documents) --------
+    from pyontutils_spark.sources.rdf import nifttl_per_graph
+    from pyontutils_spark.synth.graphs import ontology_graphs
+
+    n_docs = 5_000
+    og_path = os.path.join(CACHE_DIR, f"ontgraphs_{n_docs}.parquet")
+    if not os.path.exists(og_path):
+        ontology_graphs(spark, n_docs).write.parquet(og_path)
+    og = spark.read.parquet(og_path)
+    _force(nifttl_per_graph(og.limit(500), {}))  # warm the kernel path
+    nif_runs = []
+    for _ in range(2):
         t0 = time.perf_counter()
-        _force(qs[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        _force(nifttl_per_graph(og, {}))
+        nif_runs.append(round(time.perf_counter() - t0, 3))
+    timings["nifttl_5k_graphs"] = min(nif_runs)
+    extras["nifttl_docs_per_sec"] = round(
+        n_docs / timings["nifttl_5k_graphs"], 1)
+    extras["nifttl_runs_sec"] = nif_runs
 
     # --- graph operators at benchmark scale (>=10^6 edges; the driver
     # fixtures measure only per-round JVM overhead) ----------------------
     from pyontutils_spark.operators.components import canonical_mapping
     from pyontutils_spark.operators.hierarchy import transitive_closure
-    from pyontutils_spark.synth.graphs import sameas_chain_edges, tree_edges
+    from pyontutils_spark.synth.graphs import (
+        sameas_chain_edges, star_edges, tree_edges)
 
     n_graph = int(os.environ.get("SPARK_GRAFT_GRAPH_EDGES", "1000000"))
     sa_path = os.path.join(CACHE_DIR, f"sameas_{n_graph}.parquet")
@@ -121,9 +151,13 @@ def main() -> None:
     tr_path = os.path.join(CACHE_DIR, f"tree_{n_graph}.parquet")
     if not os.path.exists(tr_path):
         tree_edges(spark, n_graph).write.parquet(tr_path)
+    hub_path = os.path.join(CACHE_DIR, f"hubstar_{n_graph}.parquet")
+    if not os.path.exists(hub_path):
+        star_edges(spark, n_graph).write.parquet(hub_path)
 
     sa = spark.read.parquet(sa_path)
     tr = spark.read.parquet(tr_path)
+    hub = spark.read.parquet(hub_path)
     # warm the iterated-join + ArrowEvalPython shapes first
     _force(canonical_mapping(sa.limit(1000)))
     _force(transitive_closure(tr.limit(1000), max_depth=30))
@@ -137,6 +171,10 @@ def main() -> None:
         "sameas_components_1m": lambda: _force(canonical_mapping(sa)),
         "transitive_closure_1m": lambda: _force(
             transitive_closure(tr, max_depth=30)),
+        # hub-degree worst case: one node with 10^6 neighbors — exercises
+        # the hub-safe star round (algebraic min + join, no collect_set)
+        "hub_star_cc_1m": lambda: _force(canonical_mapping(
+            hub.selectExpr("a", "b"))),
     }
     raw_runs: dict[str, list[float]] = {k: [] for k in graph_jobs}
     for _ in range(3):
@@ -144,14 +182,17 @@ def main() -> None:
             t0 = time.perf_counter()
             fn()
             raw_runs[name].append(round(time.perf_counter() - t0, 3))
-    timings["sameas_components_1m"] = min(raw_runs["sameas_components_1m"])
-    timings["transitive_closure_1m"] = min(raw_runs["transitive_closure_1m"])
+    for name in graph_jobs:
+        timings[name] = min(raw_runs[name])
     extras["cc_edges_per_sec"] = round(
         n_graph / timings["sameas_components_1m"], 1)
     extras["tc_edges_per_sec"] = round(
         n_graph / timings["transitive_closure_1m"], 1)
+    extras["hub_cc_edges_per_sec"] = round(
+        n_graph / timings["hub_star_cc_1m"], 1)
     extras["cc_runs_sec"] = raw_runs["sameas_components_1m"]
     extras["tc_runs_sec"] = raw_runs["transitive_closure_1m"]
+    extras["hub_cc_runs_sec"] = raw_runs["hub_star_cc_1m"]
 
     total = round(sum(timings.values()), 3)
     out = {

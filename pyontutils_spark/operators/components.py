@@ -50,7 +50,34 @@ def _symmetric(edges: DataFrame) -> DataFrame:
 def _min_neighbor_star(edges: DataFrame, large: bool) -> DataFrame:
     """One star round over symmetric edges.  Emits (t, m) with
     m = min(neighbors(u) ∪ {u}); large-star targets t ∈ N(u), t > u;
-    small-star targets {t ∈ N(u): t < u} ∪ {u}."""
+    small-star targets {t ∈ N(u): t < u} ∪ {u}.
+
+    Hub-degree-safe formulation: ``m`` comes from an algebraic
+    ``min`` aggregate (O(1) buffer per key, map-side partial combine),
+    and targets are emitted by joining ``m`` back to the edge rows —
+    so NO row or aggregation buffer ever materializes a mega-hub's
+    whole neighbor set (a web-scale sameAs graph has 10^8-degree
+    hubs; the earlier ``collect_set`` form put each hub's N(u) in one
+    buffer).  The hub key's join partition is splittable by AQE
+    skew-join; both shuffles hash on ``u`` so the exchange is reused."""
+    mins = (edges.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m")))
+    j = edges.join(mins, "u")
+    if large:
+        out = (j.filter(F.col("v") > F.col("u"))
+               .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    else:
+        out = (j.filter(F.col("v") < F.col("u"))
+               .select(F.col("v").alias("u"), F.col("m").alias("v"))
+               .unionByName(
+                   mins.select("u", F.col("m").alias("v"))))
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _min_neighbor_star_collect(edges: DataFrame, large: bool) -> DataFrame:
+    """The textbook collect_set star round — kept ONLY as the
+    equivalence oracle for tests; do not use at scale (one aggregation
+    buffer holds a hub's entire neighbor set)."""
     grouped = (edges.groupBy("u")
                .agg(F.collect_set("v").alias("nbrs")))
     m = F.least(F.array_min("nbrs"), F.col("u"))

@@ -245,9 +245,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch: PPM/BMP/PNG decode here (pure stdlib);
-    JPEG needs PIL (absent in this container -> declared
-    NotImplementedError)."""
+    """Magic-byte dispatch: PPM/BMP/PNG/baseline-JPEG all decode here
+    with no third-party library (kernel/jpeg.py reads the stream's own
+    quant/Huffman tables, handles 4:2:0/4:2:2/4:4:4 + restart markers;
+    progressive/arithmetic JPEG raises a declared NotImplementedError
+    unless PIL happens to be installed)."""
     b = bytes(payload[:8])
     if b.startswith(b"P6"):
         return decode_ppm(payload)
@@ -256,12 +258,15 @@ def decode_image(payload: bytes) -> np.ndarray:
     if b.startswith(b"\x89PNG"):
         return decode_png(payload)
     if b.startswith(b"\xff\xd8"):
-        if not _HAVE_PIL:
-            raise NotImplementedError(
-                "JPEG decoding requires PIL, not in this container")
-        import PIL.Image
-        return np.asarray(PIL.Image.open(io.BytesIO(payload))
-                          .convert("RGB"))
+        from ..kernel.jpeg import decode_jpeg
+        try:
+            return decode_jpeg(payload)
+        except NotImplementedError:
+            if not _HAVE_PIL:
+                raise
+            import PIL.Image
+            return np.asarray(PIL.Image.open(io.BytesIO(payload))
+                              .convert("RGB"))
     raise ValueError(f"unknown image magic {b!r}")
 
 
@@ -304,12 +309,14 @@ def fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 def synth_media(spark, n: int, kind: str = "image") -> DataFrame:
     """Deterministic synthetic media table.  Image payloads are REAL
-    binary PPMs (per-id gradient pattern); audio payloads are real
+    encoded bytes — PPM for even ids, baseline JPEG (kernel/jpeg.py)
+    for odd ids, the corpus-realistic mix; audio payloads are real
     16-bit PCM WAVs (per-id sine) — so the decode stage exercises the
     actual byte parsers."""
     rng = spark.range(0, n, 1)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.jpeg import encode_jpeg
         for pdf in batches:
             ids = pdf["id"].astype("int64")
             payloads, widths, heights, durs, mimes = [], [], [], [], []
@@ -321,11 +328,15 @@ def synth_media(spark, n: int, kind: str = "image") -> DataFrame:
                                     (yy * 11 + i * 3) % 256,
                                     (xx + yy + i * 5) % 256],
                                    axis=2).astype("u1")
-                    payloads.append(encode_ppm(pix))
+                    if i % 2:
+                        payloads.append(encode_jpeg(pix, quality=90))
+                        mimes.append("image/jpeg")
+                    else:
+                        payloads.append(encode_ppm(pix))
+                        mimes.append("image/x-portable-pixmap")
                     widths.append(w)
                     heights.append(h)
                     durs.append(None)
-                    mimes.append("image/x-portable-pixmap")
                 else:  # audio
                     rate, n_samp = 8000, 800
                     t = np.arange(n_samp)

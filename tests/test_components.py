@@ -88,3 +88,37 @@ def test_chain_converges_in_log_rounds(spark):
     comp = connected_components_ids(df, max_iter=25).collect()
     assert {r.component for r in comp} == {0}
     assert len(comp) == 201
+
+
+def test_star_round_hub_safe_equals_collect_form(spark):
+    """The hub-safe star round (algebraic min + edge join — no row
+    ever holds a hub's whole neighbor set) must emit exactly the edge
+    set of the collect_set form, on both the single-hub star and a
+    heavy-tailed power-law graph; its plan must contain no
+    collect_set aggregation buffer."""
+    from pyontutils_spark.operators.components import (
+        _min_neighbor_star, _min_neighbor_star_collect, _symmetric)
+    from pyontutils_spark.synth.graphs import powerlaw_edges, star_edges
+    for g in (star_edges(spark, 3000), powerlaw_edges(spark, 3000)):
+        e = (g.selectExpr("a AS u", "b AS v")
+             .filter("u != v").distinct().localCheckpoint(eager=True))
+        for large in (True, False):
+            sym = _symmetric(e)
+            safe = {(r.u, r.v)
+                    for r in _min_neighbor_star(sym, large).collect()}
+            ref = {(r.u, r.v)
+                   for r in _min_neighbor_star_collect(sym, large).collect()}
+            assert safe == ref and safe
+    plan = (_min_neighbor_star(_symmetric(e), True)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "collect_set" not in plan
+
+
+def test_canonical_mapping_on_hub_star(spark):
+    """A 20k-leaf single-hub star through the full canonical_mapping
+    path: one component, every node canonicalized to the natsort-min
+    member (the hub, 'h0' < 's…')."""
+    from pyontutils_spark.synth.graphs import star_edges
+    m = canonical_mapping(star_edges(spark, 20_000)).collect()
+    assert len(m) == 20_001
+    assert all(r.canonical_iri == "http://e/h0" for r in m)

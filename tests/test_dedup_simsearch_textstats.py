@@ -159,11 +159,14 @@ def test_fingerprint_deterministic(spark):
 
 
 def test_multimodal_image_features_real_decode(spark):
-    """synth images are REAL binary PPMs; the feature stage decodes the
-    actual bytes (no hash fake on this path)."""
+    """synth images are REAL encoded bytes (PPM for even ids, baseline
+    JPEG for odd ids); the feature stage decodes the actual bytes (no
+    hash fake on this path)."""
     from pyontutils_spark.operators.multimodal import (
         decode_image, image_features)
     media = synth_media(spark, 20)
+    mimes = {r.mime for r in media.select("mime").distinct().collect()}
+    assert mimes == {"image/x-portable-pixmap", "image/jpeg"}
     feats = extract_features(media).collect()
     assert len(feats) == 20
     for r in feats:
@@ -216,9 +219,22 @@ def test_multimodal_resize_and_bmp(spark):
 
 
 def test_multimodal_decode_stub_for_compressed():
+    from pyontutils_spark.kernel.jpeg import encode_jpeg
     from pyontutils_spark.operators.multimodal import decode_image
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0JPEG")  # JPEG still PIL-gated
+    import numpy as np
+    # baseline JPEG decodes for real now (kernel/jpeg.py); the declared
+    # gate is progressive/arithmetic frames (PIL fallback if installed)
+    payload = bytearray(encode_jpeg(
+        np.zeros((8, 8, 3), dtype="uint8")))
+    i = payload.index(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="progressive"):
+            decode_image(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0JPEG")  # truncated stream
     with pytest.raises(ValueError):
         decode_image(b"GIBBERISH")
     with pytest.raises(ValueError):

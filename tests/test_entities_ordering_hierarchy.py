@@ -283,3 +283,23 @@ def test_subject_sections_and_sectioned_order(spark):
     assert first_pos["http://e/ont"] < first_pos["http://e/prop"]
     assert first_pos["http://e/prop"] < first_pos["http://e/zclass"]
     assert first_pos["http://e/zclass"] < first_pos["http://e/untyped"]
+
+
+def test_entity_pivot_explicit_predicates_runs_no_job(spark):
+    """With an explicit predicate vocabulary the pivot must launch NO
+    Spark job at plan time (the distinct-collect is only the
+    predicates=None fallback) — asserted with a source that raises if
+    any task executes."""
+    import pytest as _pytest
+    from pyontutils_spark.operators.entities import entity_pivot
+
+    def boom(_it):
+        raise RuntimeError("a job ran at plan time")
+        yield  # pragma: no cover
+
+    bad = spark.range(1).mapInPandas(
+        boom, "subj string, pred string, obj string")
+    piv = entity_pivot(bad, predicates=["http://x/p1", "http://x/p2"])
+    assert "p1" in piv.columns  # plan built, nothing executed
+    with _pytest.raises(Exception, match="job ran"):
+        entity_pivot(bad)  # fallback path does collect -> executes

@@ -5,6 +5,7 @@ pattern), OBO -> triples."""
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from pyontutils_spark.kernel.curies import PrefixMap
 from pyontutils_spark.operators import vocab
@@ -129,3 +130,22 @@ def test_nifttl_per_graph_distributed(spark, tmp_path):
         rows, _p, _ = parse_turtle_document(src_text, str(tmp_path) + "/" + name)
         assert out[name] == serialize_nifttl(rows, ns)
         assert "### Classes" in out[name]
+
+
+def test_nifttl_per_graph_bytes_equal_driver_writer(spark):
+    """The distributed writer is the 100-TB shape: drive 50 synthetic
+    ontologies through nifttl_per_graph and assert every document's
+    bytes equal the driver-side write_nifttl_string on the same
+    graph's rows (same namespaces)."""
+    from pyontutils_spark.sources.rdf import (
+        nifttl_per_graph, write_nifttl_string)
+    from pyontutils_spark.synth.graphs import ontology_graphs
+    trips = ontology_graphs(spark, 50).cache()
+    got = {r.graph_key: r.ttl
+           for r in nifttl_per_graph(trips, {}).collect()}
+    assert len(got) == 50
+    for gk in ("file:///onts/g0.ttl", "file:///onts/g7.ttl",
+               "file:///onts/g49.ttl"):
+        one = trips.filter(F.col("src_file") == gk).drop("src_file")
+        assert got[gk] == write_nifttl_string(one, {})
+    trips.unpersist()
