@@ -367,6 +367,44 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("jaccard_micro"))
 
 
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram shingle Jaccard near-dup (the n-gram member of
+    the dedup family): per-doc shingle hash set via ``ngram_shingles``
+    (rolling window, pure column expressions), exact Jaccard over a
+    bounded pair set, threshold 0.2 (char-gram Jaccard runs much
+    lower than token Jaccard on the same corpus), micro-scaled."""
+    from pyontutils_spark.operators.dedup import ngram_shingles
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    sh = docs.select("doc_id", ngram_shingles(F.col("text"), 5).alias("s"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("jac",
+                        F.size(F.array_intersect("sa", "sb"))
+                        / F.size(F.array_union("sa", "sb")))
+            .filter(F.col("jac") >= 0.2)
+            .select("id_a", "id_b",
+                    F.round(F.col("jac") * 1_000_000).cast("long")
+                    .alias("jaccard_micro")))
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode end-to-end (no SQL analog — rows-only check):
+    200 synthetic media rows carrying REAL encoded bytes (PPM even ids,
+    baseline JPEG odd ids), decoded by the pure-Python kernel inside
+    Arrow-batched mapInPandas; features quantized to e4 ints so the
+    result is deterministically hashable."""
+    from pyontutils_spark.operators.multimodal import (
+        extract_features, synth_media)
+    media = synth_media(spark, 200)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        F.transform("features",
+                    lambda x: F.round(x * 10_000).cast("long"))
+        .alias("features_e4"))
+
+
 _GRAPH_TRIPLES = [
     ("g1", "http://e/a", "http://p/type", "http://c/Class", False),
     ("g1", "http://e/a", "http://p/label", "a label", True),
@@ -1142,6 +1180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_counts": _q_stream_window_counts,
         "canonical_rank": _q_canonical_rank,
         "quality_rules": _q_quality_rules,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "media_features": _q_media_features,
     }
 
 
@@ -1420,6 +1460,25 @@ def oracle_sql() -> dict[str, str]:
         FROM toks a JOIN toks b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.ts, b.ts))::double
               / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.5
+        """
+
+    # char-5-gram shingle hashes: same rolling window + h32 as
+    # ngram_shingles (substr past-the-end truncation matches Spark's)
+    sqls["ngram_jaccard"] = """
+        WITH sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+              generate_series(1, greatest(length(lower(text)) - 4, 1)),
+              i -> ('0x' || substr(md5(substr(lower(text), i, 5)), 1, 8)
+                   )::ubigint::bigint)) AS s
+          FROM documents WHERE doc_id < 50
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))::double
+                     / len(list_distinct(list_concat(a.s, b.s)))
+                     * 1000000)::bigint AS jaccard_micro
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::double
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
         """
 
     sqls["url_projection"] = f"""

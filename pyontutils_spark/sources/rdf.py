@@ -168,23 +168,73 @@ def nifttl_per_graph(triples: DataFrame, namespaces: dict,
             .applyInPandas(per_graph, schema="graph_key string, ttl string"))
 
 
-def write_turtle_html_string(triples: DataFrame, prefix_map=None) -> str:
+def write_turtle_html_string(triples: DataFrame, prefix_map=None,
+                             labels: dict | None = None) -> str:
     """Hyperlinked-ttl presentation variant (HtmlTurtleSerializer,
-    ttlser/serializers.py:781-824 — a subclass of the nifttl
-    serializer in the reference too): nifttl layout, IRIs wrapped in
-    <a href>."""
+    ttlser/serializers.py:781-824 — in the reference too a subclass of
+    the nifttl serializer).  Structure mirrors the reference: nifttl
+    layout with ``<br>\\n`` line endings and NBSP indentation
+    (``_nl``/``_space``, serializers.py:784-785), prefix block written
+    plain (startDocument, :793-799), every full IRI *and* qname outside
+    string literals wrapped in an ``<a href target="_blank">`` whose
+    ``title`` is the node's rdfs:label when known (label(),
+    :801-817); ``labels`` merges external labels exactly like the
+    serialize(labels=...) kwarg (:819-824)."""
     import html as _h
     import re as _re
 
-    ttl = write_nifttl_string(triples)
-    esc = _h.escape(ttl)
+    from ..kernel.nifttl import serialize_nifttl
 
-    def link(m):
-        iri = m.group(1)
-        return f'&lt;<a href="{iri}">{iri}</a>&gt;'
+    rows = [(r.subj, r.pred, r.obj, r.obj_is_literal, r.obj_datatype,
+             r.obj_lang) for r in triples.collect()]
+    if prefix_map is None:
+        iris = {r[0] for r in rows} | {r[1] for r in rows} | {
+            r[2] for r in rows if not r[3]}
+        namespaces = DEFAULT_PREFIXES.cull(iris)
+    else:
+        namespaces = dict(prefix_map)
+    lbls = {s: o for (s, p, o, il, _dt, _lg) in rows
+            if p == vocab.RDFS_LABEL and il}
+    if labels:
+        lbls.update(labels)
+    ttl = serialize_nifttl(rows, namespaces)
 
-    body = _re.sub(r"&lt;(http[^&]*)&gt;", link, esc)
-    return f"<pre>\n{body}</pre>\n"
+    def atag(href: str, text: str, title: str | None) -> str:
+        t = (f' title="{_h.escape(title, quote=True)}"'
+             if title is not None else "")
+        return (f'<a href="{_h.escape(href, quote=True)}"'
+                f' target="_blank"{t}>{text}</a>')
+
+    # one alternation pass: a replacement is never re-scanned, so
+    # inserted hrefs/titles cannot be qname-matched again
+    token = _re.compile(
+        r"&lt;(?P<iri>http[^&\s]*)&gt;"
+        r"|(?<![\w&#;:-])(?P<pref>[A-Za-z][\w.-]*):(?P<local>[\w][\w.-]*)")
+
+    def link_tokens(m: "_re.Match") -> str:
+        if m.group("iri"):
+            iri = m.group("iri")
+            return "&lt;" + atag(iri, iri, lbls.get(iri)) + "&gt;"
+        pref, local = m.group("pref"), m.group("local")
+        ns = namespaces.get(pref)
+        if ns is None:
+            return m.group(0)
+        iri = ns + local
+        return atag(iri, m.group(0), lbls.get(iri))
+
+    out_lines = []
+    for line in _h.escape(ttl).split("\n"):
+        stripped = line.lstrip(" ")
+        indent = " " * (len(line) - len(stripped))
+        if stripped.startswith("@prefix"):
+            out_lines.append(indent + stripped)   # plain, like the ref
+            continue
+        # literal guard: only even &quot;-split segments are code
+        segs = stripped.split("&quot;")
+        segs = [token.sub(link_tokens, s) if i % 2 == 0 else s
+                for i, s in enumerate(segs)]
+        out_lines.append(indent + "&quot;".join(segs))
+    return "<br>\n".join(out_lines)
 
 
 def _per_file_source(spark: SparkSession, path: str, parse) -> DataFrame:

@@ -86,3 +86,63 @@ def test_rewrite_with_fewer_buckets_leaves_no_stale_partitions(
     assert spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode").lower() != "static" \
         or True  # (only asserts no exception reading the conf)
+
+
+def _iceberg_jar():
+    """An iceberg-spark-runtime jar cannot be vendored into this
+    sandbox (no network); point ICEBERG_SPARK_JAR at one to enable the
+    V2-catalog test."""
+    import glob
+    for pat in (os.environ.get("ICEBERG_SPARK_JAR", ""),
+                "/opt/jars/iceberg-spark-runtime*.jar"):
+        hits = glob.glob(pat) if pat else []
+        if hits:
+            return hits[0]
+    return None
+
+
+@pytest.mark.skipif(
+    _iceberg_jar() is None,
+    reason="needs iceberg-spark-runtime jar; no network in this sandbox "
+           "— set ICEBERG_SPARK_JAR=/path/to/iceberg-spark-runtime*.jar")
+def test_iceberg_v2_write_snapshot_resume(tmp_path):
+    """End-to-end Iceberg path of write_triples_table: local Hadoop
+    catalog, writeTo().partitionedBy() create, snapshot listing, and
+    idempotent re-run (createOrReplace).  Runs in a subprocess because
+    catalog/jar confs must be set before the JVM starts (the shared
+    test session can't be reconfigured)."""
+    import subprocess
+    import sys
+    import textwrap
+    script = textwrap.dedent(f"""
+        from pyspark.sql import SparkSession
+        from pyontutils_spark.operators import vocab
+        from pyontutils_spark.plans.catalog import write_triples_table
+        spark = (SparkSession.builder.master("local[2]")
+            .config("spark.jars", {_iceberg_jar()!r})
+            .config("spark.sql.extensions",
+                    "org.apache.iceberg.spark.extensions."
+                    "IcebergSparkSessionExtensions")
+            .config("spark.sql.catalog.ice",
+                    "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.ice.type", "hadoop")
+            .config("spark.sql.catalog.ice.warehouse",
+                    {str(tmp_path / "wh")!r})
+            .getOrCreate())
+        rows = [("http://e/a", vocab.RDFS_LABEL, "x", True, None, None),
+                ("http://e/b", vocab.RDFS_LABEL, "y", True, None, None)]
+        t = spark.createDataFrame(rows, vocab.TRIPLE_SCHEMA)
+        ident = write_triples_table(spark, t, "", catalog="ice",
+                                    n_buckets=4)
+        assert ident == "ice.triples", ident
+        assert spark.table(ident).count() == 2
+        write_triples_table(spark, t, "", catalog="ice", n_buckets=4)
+        assert spark.table(ident).count() == 2   # idempotent re-run
+        snaps = spark.sql("SELECT * FROM ice.triples.snapshots").count()
+        assert snaps >= 2, snaps                 # snapshot per write
+        print("ICEBERG_OK")
+        spark.stop()
+    """)
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, timeout=300)
+    assert "ICEBERG_OK" in out.stdout, out.stderr[-2000:]

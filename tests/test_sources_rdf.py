@@ -83,10 +83,25 @@ def test_read_obo(spark, tmp_path):
 
 
 def test_turtle_html_variant(spark, tdf):
+    """Reference HtmlTurtleSerializer structure: <br> line endings,
+    NBSP indentation, plain prefix block, IRI/qname atags with
+    title=rdfs:label, external labels merged (serializers.py:781-824)."""
     from pyontutils_spark.sources.rdf import write_turtle_html_string
-    html = write_turtle_html_string(tdf)
-    assert html.startswith("<pre>")
-    assert '<a href="http://e/b">http://e/b</a>' in html
+    html = write_turtle_html_string(
+        tdf, labels={"http://e/b": "external b label"})
+    assert "<br>\n" in html and " " in html
+    # full IRI linked in a new tab, labelled from the labels kwarg
+    assert ('<a href="http://e/b" target="_blank" '
+            'title="external b label">http://e/b</a>') in html
+    # qname (owl:Class) linked to its expansion
+    assert ('<a href="http://www.w3.org/2002/07/owl#Class" '
+            'target="_blank">owl:Class</a>') in html
+    # prefix block stays plain (no atag), like startDocument
+    for line in html.split("<br>\n"):
+        if line.startswith("@prefix"):
+            assert "<a " not in line
+    # literal text is never linked
+    assert "&quot;a label&quot;" in html or "&quot;" in html
 
 
 def test_read_obo_emits_header_triples(spark, tmp_path):
