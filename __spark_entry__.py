@@ -405,6 +405,21 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("features_e4"))
 
 
+def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode in the gate (no SQL analog — rows-only): 40
+    synthetic MJPEG-AVI videos parsed by the pure-struct RIFF kernel,
+    frames JPEG-decoded and featurized inside Arrow-batched
+    mapInPandas; features e4-quantized for stable hashing."""
+    from pyontutils_spark.operators.multimodal import (
+        sample_video_frames, synth_media)
+    media = synth_media(spark, 40, kind="video")
+    return (sample_video_frames(media, every_ms=400)
+            .select("media_id", "frame_ts_ms", "frame_idx",
+                    F.transform("features",
+                                lambda x: F.round(x * 10_000)
+                                .cast("long")).alias("features_e4")))
+
+
 _GRAPH_TRIPLES = [
     ("g1", "http://e/a", "http://p/type", "http://c/Class", False),
     ("g1", "http://e/a", "http://p/label", "a label", True),
@@ -1182,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_rules": _q_quality_rules,
         "ngram_jaccard": _q_ngram_jaccard,
         "media_features": _q_media_features,
+        "video_frames": _q_video_frames,
     }
 
 

@@ -9,10 +9,16 @@ Decode is REAL for the formats that need no external libraries:
 - **PNG** (8-bit gray/gray+alpha/RGB/RGBA/palette, non-interlaced) —
   stdlib ``zlib`` inflate + all five scanline filters (None/Sub/Up/
   Average/Paeth) unfiltered in pure Python/numpy,
+- **baseline-sequential JPEG** — pure-Python Huffman + IDCT
+  (kernel/jpeg.py), stream-defined tables, 4:2:0/4:2:2/4:4:4,
+  restart markers,
+- **MJPEG-in-AVI video** — pure ``struct`` RIFF container parse
+  (kernel/avi.py) feeding the JPEG kernel per frame
+  (:func:`sample_video_frames`),
 - **WAV (PCM)** audio — stdlib ``wave`` + ``numpy``.
 
-JPEG/MP3/video codecs require libraries this container doesn't ship;
-``decode_image`` dispatches on magic bytes and raises a declared
+Progressive/arithmetic JPEG, MP3, and non-MJPEG video codecs require
+libraries this container doesn't ship; decoders raise a declared
 ``NotImplementedError`` for those — the Spark-side plumbing (schema,
 partitioning, UDF signature, bounded batch shape) is identical either
 way, so wiring PIL/ffmpeg later touches only the dispatch table.
@@ -337,6 +343,21 @@ def synth_media(spark, n: int, kind: str = "image") -> DataFrame:
                     widths.append(w)
                     heights.append(h)
                     durs.append(None)
+                elif kind == "video":
+                    from ..kernel.avi import encode_avi_mjpeg
+                    fps, n_frames = 5, 4 + int(i % 3)
+                    w, h = 16, 16
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    frames = [np.stack([(xx * 9 + i + 13 * fr) % 256,
+                                        (yy * 5 + i * 2) % 256,
+                                        (xx + yy + fr * 7) % 256],
+                                       axis=2).astype("u1")
+                              for fr in range(n_frames)]
+                    payloads.append(encode_avi_mjpeg(frames, fps=fps))
+                    widths.append(w)
+                    heights.append(h)
+                    durs.append(int(n_frames * 1000 / fps))
+                    mimes.append("video/x-msvideo")
                 else:  # audio
                     rate, n_samp = 8000, 800
                     t = np.arange(n_samp)
@@ -435,11 +456,45 @@ def resize_images(media: DataFrame, out_w: int, out_h: int,
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: (media_id, frame_ts_ms) rows derived
-    from duration metadata — pure column expressions (decoding the
-    planned frames needs video codecs, which stay behind the
-    decode_image gate)."""
+    from duration metadata — pure column expressions, no payload
+    decode (use :func:`sample_video_frames` for the real decode)."""
     return (media.filter(F.col("duration_ms").isNotNull())
             .select("media_id",
                     F.explode(F.sequence(
                         F.lit(0), F.col("duration_ms"),
                         F.lit(every_ms))).alias("frame_ts_ms")))
+
+
+def sample_video_frames(media: DataFrame, every_ms: int = 1000,
+                        dim: int = FEATURE_DIM,
+                        batch_limit: int = 64) -> DataFrame:
+    """REAL video frame-sample + decode + feature-extract: MJPEG-AVI
+    payloads (kernel/avi.py container parse + kernel/jpeg.py frame
+    decode — no external library) -> one row per sampled frame
+    ``(media_id, frame_ts_ms, frame_idx, features array<double>)``,
+    Arrow-batched with a bounded inner batch so executor memory stays
+    flat regardless of video size.  Non-MJPEG codecs raise the
+    declared NotImplementedError from the kernel."""
+    from ..kernel.avi import decode_video_frames
+    src = media.select("media_id", "payload")
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[lo:lo + batch_limit]
+                out = {"media_id": [], "frame_ts_ms": [],
+                       "frame_idx": [], "features": []}
+                for mid, payload in zip(chunk["media_id"],
+                                        chunk["payload"]):
+                    for ts, idx, arr in decode_video_frames(
+                            bytes(payload), every_ms):
+                        out["media_id"].append(int(mid))
+                        out["frame_ts_ms"].append(int(ts))
+                        out["frame_idx"].append(idx)
+                        out["features"].append(
+                            image_features(arr, dim).tolist())
+                yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        frames, schema="media_id long, frame_ts_ms long, "
+                       "frame_idx int, features array<double>")
