@@ -10,6 +10,7 @@ DuckDB-equivalent SQL for each.  Hashing used inside queries is the
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -176,10 +177,20 @@ def _q_mention_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n")))
 
 
-def _q_triples_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triple emission from mentions: page isAbout entity + entity
-    labels, set semantics (union + distinct)."""
-    mentions = _q_mention_tokens(spark, sf_dir)
+def _emit_triples_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Mention -> link -> emit over an arbitrary documents DataFrame
+    (batch or micro-batch): page isAbout entity + entity labels, set
+    semantics (union + distinct).  Shared by the batch ``triples_emit``
+    query and the streaming ``stream_triples`` foreachBatch body, so
+    streaming == batch by construction."""
+    lex_terms = spark.createDataFrame(DOC_LEXICON,
+                                      "term string, curie string")
+    toks = (docs.filter(F.col("lang") == "en")
+            .select("doc_id",
+                    F.explode(tokens_col(F.col("text"))).alias("term")))
+    mentions = (toks.join(F.broadcast(lex_terms.select("term")), "term")
+                .groupBy("doc_id", "term")
+                .agg(F.count("*").alias("n")))
     lex = spark.createDataFrame(
         [(w, c, PREFIXES.expand(c)) for w, c in DOC_LEXICON],
         "term string, curie string, iri string")
@@ -193,6 +204,12 @@ def _q_triples_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.lit(vocab.RDFS_LABEL).alias("pred"),
                       F.col("term").alias("obj")))
     return about.unionByName(labels).distinct()
+
+
+def _q_triples_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple emission from mentions: page isAbout entity + entity
+    labels, set semantics (union + distinct)."""
+    return _emit_triples_from(spark, _docs(spark, sf_dir))
 
 
 def _q_entity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -772,6 +789,38 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT digest FROM {name}")
 
 
+def _q_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The triple factory AS a Structured Streaming query: stream the
+    documents table from a file source (availableNow), run the SAME
+    mention->link->emit chain per micro-batch inside foreachBatch
+    (exactly-once: each replayed batch overwrites its own batch=<id>
+    directory, streaming/stream.py:34 pattern), then read back the
+    distinct union.  Oracled by the SAME SQL as batch ``triples_emit``
+    — streaming == batch == oracle."""
+    import tempfile
+
+    batch = _docs(spark, sf_dir)
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    out_dir = tempfile.mkdtemp(prefix="stream_triples_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_triples_ckpt_")
+
+    def process(bdf: DataFrame, bid: int) -> None:
+        (_emit_triples_from(spark, bdf)
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, f"batch={bid}")))
+
+    q = (stream.writeStream.foreachBatch(process)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.read.option("recursiveFileLookup", "true")
+            .parquet(out_dir)
+            .select("subj", "pred", "obj").distinct())
+
+
 # --- round-3 fixtures: obo / graphml / class records / uriswitch /
 # prune / dematerialize / label synthesis -----------------------------------
 
@@ -1193,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_localize": _q_import_localize,
         "dedup_clusters": _q_dedup_clusters,
         "stream_window_counts": _q_stream_window_counts,
+        "stream_triples": _q_stream_triples,
         "canonical_rank": _q_canonical_rank,
         "quality_rules": _q_quality_rules,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1770,6 +1820,10 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT k, v, ord FROM ranked WHERE rn = 1
         """
+
+    # streaming == batch == oracle: the streaming factory reuses the
+    # batch emit SQL verbatim
+    sqls["stream_triples"] = sqls["triples_emit"]
 
     sqls["stream_dedup"] = """
         SELECT DISTINCT md5(text) AS digest FROM documents
