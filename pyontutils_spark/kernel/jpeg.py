@@ -416,10 +416,14 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         comps_px = [y, cb, cr]
-    if subsample not in ("444", "420"):
-        raise ValueError("subsample must be '444' or '420'")
-    sub = subsample == "420" and not gray
-    samp = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * len(comps_px)
+    if subsample not in ("444", "422", "420"):
+        raise ValueError("subsample must be '444', '422' or '420'")
+    if gray or subsample == "444":
+        samp = [(1, 1)] * len(comps_px)
+    elif subsample == "422":                   # chroma halved in x only
+        samp = [(2, 1), (1, 1), (1, 1)]
+    else:                                      # 420: halved in x and y
+        samp = [(2, 2), (1, 1), (1, 1)]
 
     qlum = _scaled_quant(QUANT_LUM, quality)
     qchr = _scaled_quant(QUANT_CHROM, quality)

@@ -150,3 +150,40 @@ def test_cross_check_against_pil():
     ours = decode_jpeg(payload)
     theirs = np.asarray(PIL.Image.open(io.BytesIO(payload)).convert("RGB"))
     assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 1
+
+
+def test_roundtrip_gradient_422_subsampled():
+    img = _gradient(24, 40)
+    payload = encode_jpeg(img, quality=95, subsample="422")
+    out = decode_jpeg(payload)
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 6 and err.max() <= 64
+    # stream really carries x-halved chroma: between 420 and 444 size
+    assert (len(encode_jpeg(img, quality=95, subsample="420"))
+            < len(payload) < len(encode_jpeg(img, quality=95)))
+
+
+def test_roundtrip_property_random_images():
+    """Property: smooth uint8 images of any size/offset roundtrip at
+    quality 95 with bounded mean error across every sampling mode
+    (sharp edges/noise legitimately ring under quantization, so the
+    generator stays smooth — edge behavior is covered by the gradient
+    tests above)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(h=st.integers(1, 33), w=st.integers(1, 33),
+           seed=st.integers(0, 2**31 - 1),
+           sub=st.sampled_from(["444", "422", "420"]))
+    def check(h, w, seed, sub):
+        rng = np.random.RandomState(seed)
+        base = rng.randint(0, 256, (3,))
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([np.clip(base[c] + 3 * xx + 2 * yy, 0, 255)
+                        for c in range(3)], axis=2).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=95, subsample=sub))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).mean() < 8
+
+    check()
