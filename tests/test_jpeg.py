@@ -187,3 +187,51 @@ def test_roundtrip_property_random_images():
         assert np.abs(out.astype(int) - img.astype(int)).mean() < 8
 
     check()
+
+
+def test_decoder_handles_variable_length_huffman_tables():
+    """Real-world JPEGs use multi-length canonical Huffman codes
+    (Annex K tables run 2..16 bits); our encoder's fixed-length tables
+    exercise only one tree depth.  Re-encode with spread-length
+    canonical tables (DC: lengths 1..12, AC: lengths 2..9) and assert
+    the decode equals the fixed-table decode bit-for-bit."""
+    import pyontutils_spark.kernel.jpeg as J
+
+    img = _gradient(24, 24)
+    baseline = decode_jpeg(encode_jpeg(img, quality=90))
+    # DC: 12 symbols at lengths 1,2,...,12 (valid canonical: each
+    # level's single code is <prev><0>-extended, never all-ones)
+    dc_bits = [1] * 12 + [0] * 4
+    # AC: 162 symbols spread over lengths 4..9 (canonically valid:
+    # Kraft sum 2/16+4/32+8/64+16/128+100/256+32/512 = 0.953 < 1)
+    ac_bits = [0, 0, 0, 2, 4, 8, 16, 100, 32] + [0] * 7
+    assert sum(ac_bits) == 162
+    orig = (J._ENC_DC_BITS, J._ENC_AC_BITS)
+    try:
+        J._ENC_DC_BITS, J._ENC_AC_BITS = dc_bits, ac_bits
+        varlen_payload = encode_jpeg(img, quality=90)
+    finally:
+        J._ENC_DC_BITS, J._ENC_AC_BITS = orig
+    assert varlen_payload != encode_jpeg(img, quality=90)
+    assert np.array_equal(decode_jpeg(varlen_payload), baseline)
+
+
+def test_decoder_handles_16bit_quant_table():
+    """DQT precision 1 (16-bit entries) parse path: rewrite the 8-bit
+    luminance DQT segment of a grayscale stream to 16-bit big-endian
+    with the same values — decode must be identical."""
+    import struct
+    img = (np.outer(np.arange(24), np.ones(24)) * 9 % 256).astype(np.uint8)
+    payload = encode_jpeg(img, quality=90)
+    base = decode_jpeg(payload)
+    i = payload.index(b"\xff\xdb")
+    (seglen,) = struct.unpack(">H", payload[i + 2:i + 4])
+    assert seglen == 67                      # 2 + 1 + 64 (8-bit table)
+    pq_tq = payload[i + 4]
+    assert pq_tq >> 4 == 0
+    vals = payload[i + 5:i + 5 + 64]
+    seg16 = (struct.pack(">H", 2 + 1 + 128)
+             + bytes([0x10 | (pq_tq & 0x0F)])
+             + b"".join(struct.pack(">H", v) for v in vals))
+    patched = payload[:i + 2] + seg16 + payload[i + 4 + 65:]
+    assert np.array_equal(decode_jpeg(patched), base)
