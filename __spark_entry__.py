@@ -422,6 +422,73 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("features_e4"))
 
 
+def _q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union + per-key window, no point-in-time NLJ):
+    enrich each event with the customer's LATEST order as of the event
+    timestamp.  The dimension is deduped to one row per (custkey,
+    orderdate) via arg-max on orderkey (deterministic tie-break both
+    engines).  Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from pyontutils_spark.operators.temporal import asof_join
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("event_id") < 2000)
+          .select("event_id", "user_id", "ts"))
+    dim = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+           .withColumn("cents",
+                       F.round(F.col("o_totalprice") * 100).cast("long"))
+           .groupBy(F.col("o_custkey").alias("user_id"),
+                    F.col("o_orderdate").alias("ts"))
+           .agg(F.max(F.struct("o_orderkey", "cents")).alias("m"))
+           .select("user_id", "ts",
+                   F.col("m.o_orderkey").alias("order_key"),
+                   F.col("m.cents").alias("order_cents")))
+    out = asof_join(ev, dim, on="user_id", ts="ts")
+    return out.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.col("order_key_r").alias("order_key"),
+        F.col("order_cents_r").alias("order_cents"))
+
+
+def _q_range_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join as an equi-join on overlapping
+    fixed-width buckets + residual filter — no BroadcastNestedLoop
+    theta join.  Intervals: [order cents, +$5000) per order; points:
+    lineitem extendedprice cents; output matches per interval."""
+    from pyontutils_spark.operators.temporal import bucketed_range_join
+    iv = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+          .filter(F.col("o_orderkey") < 400)
+          .select(F.col("o_orderkey").alias("iid"),
+                  F.round(F.col("o_totalprice") * 100).cast("long")
+                  .alias("lo"))
+          .withColumn("hi", F.col("lo") + 500_000))
+    pts = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+           .filter(F.col("l_orderkey") < 2000)
+           .select(F.col("l_linenumber").alias("pid"),
+                   F.col("l_orderkey").alias("pok"),
+                   F.round(F.col("l_extendedprice") * 100).cast("long")
+                   .alias("v")))
+    j = bucketed_range_join(pts, iv, "v", "lo", "hi",
+                            bucket_width=500_000,
+                            point_keys=["pid", "pok"],
+                            interval_keys=["iid"])
+    return (j.groupBy("iid").agg(F.count("*").alias("n_points"))
+            .filter(F.col("n_points") > 0))
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + running sum per user, 30-min
+    gap): one row per session with event count and bounds."""
+    from pyontutils_spark.operators.temporal import sessionize
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("user_id") < 50)
+          .select("user_id", "ts", "event_id"))
+    s = sessionize(ev, key="user_id", ts="ts", gap_s=1800)
+    return (s.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min(F.unix_timestamp("ts")).alias("first_s"),
+                 F.max(F.unix_timestamp("ts")).alias("last_s")))
+
+
 def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode in the gate (no SQL analog — rows-only): 40
     synthetic MJPEG-AVI videos parsed by the pure-struct RIFF kernel,
@@ -1248,6 +1315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "media_features": _q_media_features,
         "video_frames": _q_video_frames,
+        "asof_enrich": _q_asof_enrich,
+        "range_bucket_join": _q_range_bucket_join,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -1545,6 +1615,60 @@ def oracle_sql() -> dict[str, str]:
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.s, b.s))::double
               / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+        """
+
+    sqls["asof_enrich"] = """
+        WITH dim AS (
+          SELECT o_custkey AS user_id, o_orderdate AS ts,
+                 arg_max(o_orderkey, o_orderkey) AS order_key,
+                 arg_max(round(o_totalprice * 100)::bigint,
+                         o_orderkey) AS order_cents
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, floor(epoch(e.ts))::bigint AS ts_s,
+               d.order_key, d.order_cents
+        FROM (SELECT * FROM events WHERE event_id < 2000) e
+        ASOF LEFT JOIN dim d
+          ON e.user_id = d.user_id AND e.ts >= d.ts
+        """
+
+    sqls["range_bucket_join"] = """
+        WITH iv AS (
+          SELECT o_orderkey AS iid,
+                 round(o_totalprice * 100)::bigint AS lo,
+                 round(o_totalprice * 100)::bigint + 500000 AS hi
+          FROM orders WHERE o_orderkey < 400
+        ), pts AS (
+          SELECT round(l_extendedprice * 100)::bigint AS v
+          FROM lineitem WHERE l_orderkey < 2000
+        )
+        SELECT iid, count(*)::bigint AS n_points
+        FROM pts JOIN iv ON v >= lo AND v < hi
+        GROUP BY iid HAVING count(*) > 0
+        """
+
+    sqls["sessionize"] = """
+        WITH s AS (
+          SELECT user_id, ts, event_id,
+                 -- floor() mirrors Spark's unix_timestamp truncation
+                 -- (fractional-second stamps must not shift the gap)
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                          > 1800
+                      THEN 1 ELSE 0 END AS ns
+          FROM events WHERE user_id < 50
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), numbered AS (
+          SELECT user_id, ts,
+                 sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM s
+        )
+        SELECT user_id, session_id::bigint AS session_id,
+               count(*)::bigint AS n_events,
+               min(floor(epoch(ts)))::bigint AS first_s,
+               max(floor(epoch(ts)))::bigint AS last_s
+        FROM numbered GROUP BY user_id, session_id
         """
 
     sqls["url_projection"] = f"""
