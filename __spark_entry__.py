@@ -489,6 +489,30 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max(F.unix_timestamp("ts")).alias("last_s")))
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible hash-threshold sampling with per-language rates
+    (the scale-correct sample: h32(salt|id) %% den < num — stable
+    under any partitioning, unlike rand(seed)).  'en' kept at 30%,
+    everything else at the global 10%."""
+    from pyontutils_spark.operators.sampling import hash_sample
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return hash_sample(docs, "doc_id", 10, den=100, salt="s0",
+                       rates={"en": (30, 100)}, stratum_col="lang")
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (pretraining stream layout):
+    docs shard by id hash, stream in id order per shard, pack_id =
+    start_offset // budget (straddlers keep their starting pack).
+    One running-sum window per shard — parallel at any corpus size."""
+    from pyontutils_spark.operators.sampling import pack_sequences
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokens_col(F.col("text"))).cast("long")
+        .alias("n_tokens"))
+    return pack_sequences(docs, budget=2048, n_shards=8).select(
+        "doc_id", "n_tokens", "shard", "start_offset", "pack_id")
+
+
 def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode in the gate (no SQL analog — rows-only): 40
     synthetic MJPEG-AVI videos parsed by the pure-struct RIFF kernel,
@@ -1318,6 +1342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": _q_asof_enrich,
         "range_bucket_join": _q_range_bucket_join,
         "sessionize": _q_sessionize,
+        "stratified_sample": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -1615,6 +1641,33 @@ def oracle_sql() -> dict[str, str]:
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.s, b.s))::double
               / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+        """
+
+    # same md5 threshold formula as operators/sampling.h32
+    _KEY = ("('0x' || substr(md5('s0|' || doc_id::varchar), 1, 8))"
+            "::ubigint::bigint % 100")
+    sqls["stratified_sample"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE CASE WHEN lang = 'en' THEN {_KEY} < 30
+                   ELSE {_KEY} < 10 END
+        """
+
+    sqls["pack_sequences"] = f"""
+        WITH d AS (
+          SELECT doc_id, len({_sql_tokens("text")})::bigint AS n_tokens,
+                 (('0x' || substr(md5(doc_id::varchar), 1, 8))
+                  ::ubigint::bigint % 8)::int AS shard
+          FROM documents
+        ), packed AS (
+          SELECT doc_id, n_tokens, shard,
+                 (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  - n_tokens)::bigint AS start_offset
+          FROM d
+        )
+        SELECT doc_id, n_tokens, shard, start_offset,
+               (start_offset // 2048)::bigint AS pack_id
+        FROM packed
         """
 
     sqls["asof_enrich"] = """
