@@ -513,6 +513,30 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "shard", "start_offset", "pack_id")
 
 
+def _q_token_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality proxy (unigram-LM shape): first pass
+    aggregates global token frequencies, second pass joins them back
+    and scores each document by the total and mean corpus frequency of
+    its tokens — pure integer math (mean as e4 fixed point via integer
+    division) so both engines hash identically.  The two-pass
+    global-stats-then-join-back shape is the TF/DF pattern every
+    corpus scorer uses at scale."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id",
+                       F.explode(tokens_col(F.col("text"))).alias("t"))
+    tf = toks.groupBy("t").agg(F.count("*").alias("cf"))
+    return (toks.join(tf, "t")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("cf").cast("long").alias("total_cf"))
+            .withColumn("mean_cf_e4",
+                        # `div` = exact integral division (a double `/`
+                        # could round across an integer boundary and
+                        # disagree with the oracle's `//`)
+                        F.expr("(total_cf * 10000) div n_tokens")
+                        .cast("long")))
+
+
 def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode in the gate (no SQL analog — rows-only): 40
     synthetic MJPEG-AVI videos parsed by the pure-struct RIFF kernel,
@@ -1344,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
+        "token_freq_score": _q_token_freq_score,
     }
 
 
@@ -1668,6 +1693,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_tokens, shard, start_offset,
                (start_offset // 2048)::bigint AS pack_id
         FROM packed
+        """
+
+    sqls["token_freq_score"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_sql_tokens("text")}) AS t
+          FROM documents
+        ), tf AS (
+          SELECT t, count(*)::bigint AS cf FROM toks GROUP BY t
+        )
+        SELECT doc_id, count(*)::bigint AS n_tokens,
+               sum(cf)::bigint AS total_cf,
+               (sum(cf)::bigint * 10000 // count(*))::bigint AS mean_cf_e4
+        FROM toks JOIN tf USING (t)
+        GROUP BY doc_id
         """
 
     sqls["asof_enrich"] = """

@@ -106,6 +106,7 @@ def main() -> None:
         "events_hourly", "mention_tokens", "triples_emit", "exact_dedup",
         "minhash", "simhash", "token_quality", "lang_id", "jaccard_pairs",
         "embedding_topk", "sameas_components", "transitive_closure",
+        "asof_enrich", "sessionize", "token_freq_score", "pack_sequences",
     ]
     q_runs: dict[str, list[float]] = {n: [] for n in bench_queries}
     for _ in range(2):
