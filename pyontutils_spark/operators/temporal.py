@@ -37,7 +37,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
     the key, no nested-loop point-in-time join.  Right rows sort
     before left rows at an equal timestamp (an exactly-simultaneous
     dimension row IS visible to the fact row, pandas merge_asof
-    semantics)."""
+    semantics).
+
+    Contract: ``right`` must be unique per (on, ts) — with duplicates
+    the carried attributes are whichever duplicate the window visits
+    last (partitioning-dependent); dedupe upstream with an arg-max
+    (``groupBy(on, ts).agg(F.max(F.struct(...)))``) as the gate query
+    does.  Null ``ts`` rows should be filtered by the caller (they
+    sort first and would see no dimension)."""
     rcols = [c for c in right.columns if c not in (on, ts)]
     l_tag = left.withColumn("_tag", F.lit(1))
     for c in rcols:
