@@ -36,6 +36,46 @@ _NT_REGEX = (r"^\s*<([^>]*)>\s+<([^>]*)>\s+"
              r"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?)\s*\.\s*$")
 
 
+# N-Quads = the NT pattern + an optional <graph> term before the dot
+_NQ_REGEX = (r"^\s*<([^>]*)>\s+<([^>]*)>\s+"
+             r"(?:<([^>]*)>|\"((?:[^\"\\]|\\.)*)\""
+             r"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?)"
+             r"(?:\s+<([^>]*)>)?\s*\.\s*$")
+
+
+def _read_nlines(spark: SparkSession, path: str, regex: str,
+                 with_graph: bool) -> DataFrame:
+    lines = spark.read.text(path)
+    g = lambda i: F.regexp_extract("value", regex, i)  # noqa: E731
+    cols = [g(1).alias("subj"), g(2).alias("pred"),
+            g(3).alias("obj_iri"), g(4).alias("obj_lit"),
+            g(5).alias("obj_lang"), g(6).alias("obj_datatype")]
+    if with_graph:
+        cols.append(g(7).alias("graph"))
+    parsed = (lines
+              .filter(F.trim("value") != "")
+              .filter(~F.trim("value").startswith("#"))
+              .select(*cols)
+              .filter(F.col("subj") != ""))
+    unescaped = F.when(
+        F.col("obj_lit").contains("\\"),
+        _unescape_udf(F.col("obj_lit"))).otherwise(F.col("obj_lit"))
+    out_cols = [
+        F.col("subj"), F.col("pred"),
+        F.when(F.col("obj_iri") != "", F.col("obj_iri"))
+        .otherwise(unescaped).alias("obj"),
+        (F.col("obj_iri") == "").alias("obj_is_literal"),
+        F.when(F.col("obj_datatype") != "", F.col("obj_datatype"))
+        .cast("string").alias("obj_datatype"),
+        F.when(F.col("obj_lang") != "", F.col("obj_lang"))
+        .cast("string").alias("obj_lang")]
+    if with_graph:
+        out_cols.append(
+            F.when(F.col("graph") != "", F.col("graph"))
+            .cast("string").alias("src_graph"))
+    return parsed.select(*out_cols)
+
+
 def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     """Parse .nt files into the engine triple schema.
 
@@ -44,27 +84,17 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     is finished by a tiny pandas UDF only on literal rows that contain
     a backslash.
     """
-    lines = spark.read.text(path)
-    g = lambda i: F.regexp_extract("value", _NT_REGEX, i)  # noqa: E731
-    parsed = (lines
-              .filter(F.trim("value") != "")
-              .filter(~F.trim("value").startswith("#"))
-              .select(g(1).alias("subj"), g(2).alias("pred"),
-                      g(3).alias("obj_iri"), g(4).alias("obj_lit"),
-                      g(5).alias("obj_lang"), g(6).alias("obj_datatype"))
-              .filter(F.col("subj") != ""))
-    unescaped = F.when(
-        F.col("obj_lit").contains("\\"),
-        _unescape_udf(F.col("obj_lit"))).otherwise(F.col("obj_lit"))
-    return (parsed.select(
-        "subj", "pred",
-        F.when(F.col("obj_iri") != "", F.col("obj_iri"))
-        .otherwise(unescaped).alias("obj"),
-        (F.col("obj_iri") == "").alias("obj_is_literal"),
-        F.when(F.col("obj_datatype") != "", F.col("obj_datatype"))
-        .cast("string").alias("obj_datatype"),
-        F.when(F.col("obj_lang") != "", F.col("obj_lang"))
-        .cast("string").alias("obj_lang")))
+    return _read_nlines(spark, path, _NT_REGEX, with_graph=False)
+
+
+def read_nquads(spark: SparkSession, path: str) -> DataFrame:
+    """Parse .nq files (N-Quads — the format web-scale RDF extractions
+    like Web Data Commons ship in) into triple rows plus a
+    ``src_graph`` column (NULL for default-graph statements).  Same
+    line-parallel JVM regexp fast path as :func:`read_ntriples` — the
+    ONLY RDF syntax here that needs no document-level state, so a
+    single giant dump file still splits across tasks."""
+    return _read_nlines(spark, path, _NQ_REGEX, with_graph=True)
 
 
 from pyspark.sql.types import StringType
@@ -76,16 +106,9 @@ def _unescape_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda x: None if x is None else _unescape(x))
 
 
-def write_ntriples(triples: DataFrame, path: str) -> None:
-    """Canonically ordered N-Triples dump (JVM-side formatting).
-
-    Scale boundary: the final ``coalesce(1)`` is inherent to "one
-    canonical text file" — the sort itself is a distributed
-    range-partitioned orderBy, but the write funnels through one task.
-    Use this for ontology-file-sized graphs (the ttlfmt nt target); the
-    bulk corpus path is the partitioned catalog
-    (``plans/catalog.write_triples``) or ``nifttl_per_graph`` for
-    many-files output."""
+def _nt_terms():
+    """The ``<s> <p> <o|literal>`` line Column expression shared by the
+    NT/NQ writers — all JVM-side string ops, no trailing dot."""
     lit = F.concat(
         F.lit('"'),
         F.regexp_replace(F.regexp_replace(F.regexp_replace(
@@ -102,10 +125,43 @@ def write_ntriples(triples: DataFrame, path: str) -> None:
         F.lit("<"), F.col("subj"), F.lit("> <"), F.col("pred"),
         F.lit("> "),
         F.when(F.col("obj_is_literal"), lit)
-        .otherwise(F.concat(F.lit("<"), F.col("obj"), F.lit(">"))),
-        F.lit(" ."))
+        .otherwise(F.concat(F.lit("<"), F.col("obj"), F.lit(">"))))
+    return line
+
+
+def write_ntriples(triples: DataFrame, path: str) -> None:
+    """Canonically ordered N-Triples dump (JVM-side formatting).
+
+    Scale boundary: the final ``coalesce(1)`` is inherent to "one
+    canonical text file" — the sort itself is a distributed
+    range-partitioned orderBy, but the write funnels through one task.
+    Use this for ontology-file-sized graphs (the ttlfmt nt target); the
+    bulk corpus path is the partitioned catalog
+    (``plans/catalog.write_triples``), :func:`write_nquads`, or
+    ``nifttl_per_graph`` for many-files output."""
+    line = F.concat(_nt_terms(), F.lit(" ."))
     (canonical_order(triples).select(line.alias("value"))
      .coalesce(1).write.mode("overwrite").text(path))
+
+
+def write_nquads(triples: DataFrame, path: str,
+                 graph_col: str = "src_graph") -> None:
+    """Distributed N-Quads dump: every task writes its own part file
+    (N-Quads carries no document state, so a bulk corpus exports with
+    FULL parallelism — this is the web-scale dump shape; the canonical
+    single-file path is :func:`write_ntriples`).  ``graph_col``
+    (nullable, optional) emits the 4th term for named-graph rows."""
+    spo = _nt_terms()
+    if graph_col in triples.columns:
+        line = F.concat(
+            spo,
+            F.when(F.col(graph_col).isNotNull(),
+                   F.concat(F.lit(" <"), F.col(graph_col), F.lit(">")))
+            .otherwise(F.lit("")),
+            F.lit(" ."))
+    else:
+        line = F.concat(spo, F.lit(" ."))
+    triples.select(line.alias("value")).write.mode("overwrite").text(path)
 
 
 def write_turtle_string(triples: DataFrame, prefix_map=None) -> str:
@@ -325,6 +381,7 @@ def read_rdf(spark: SparkSession, path: str,
     rdf-xml."""
     readers = {"turtle": read_turtle, "ttl": read_turtle,
                "nt": read_ntriples, "ntriples": read_ntriples,
+               "nq": read_nquads, "nquads": read_nquads,
                "json-ld": read_jsonld, "jsonld": read_jsonld,
                "rdf-xml": read_rdfxml, "rdfxml": read_rdfxml,
                "xml": read_rdfxml, "obo": read_obo}
@@ -332,6 +389,7 @@ def read_rdf(spark: SparkSession, path: str,
         return readers[rdf_format](spark, path)
     low = path.lower()
     for ext, fn in ((".ttl", read_turtle), (".nt", read_ntriples),
+                    (".nq", read_nquads),
                     (".jsonld", read_jsonld), (".json", read_jsonld),
                     (".owl", read_rdfxml), (".rdf", read_rdfxml),
                     (".xml", read_rdfxml), (".obo", read_obo)):

@@ -164,3 +164,39 @@ def test_nifttl_per_graph_bytes_equal_driver_writer(spark):
         one = trips.filter(F.col("src_file") == gk).drop("src_file")
         assert got[gk] == write_nifttl_string(one, {})
     trips.unpersist()
+
+
+def test_nquads_roundtrip_and_graph_column(spark, tmp_path):
+    """N-Quads: JVM-regexp line parse with src_graph (4th term), NULL
+    for default-graph lines; distributed writer roundtrips including
+    literal escapes, langs, datatypes."""
+    from pyontutils_spark.sources.rdf import read_nquads, write_nquads
+    nq = tmp_path / "in.nq"
+    nq.write_text(
+        '<http://e/a> <http://p/x> <http://e/b> <http://g/1> .\n'
+        '# a comment line\n'
+        '<http://e/a> <http://p/l> "esc \\"q\\" and\\nnl" <http://g/1> .\n'
+        '<http://e/c> <http://p/l> "hallo"@de .\n'
+        '<http://e/c> <http://p/n> '
+        '"5"^^<http://www.w3.org/2001/XMLSchema#integer> <http://g/2> .\n')
+    df = read_nquads(spark, str(nq))
+    rows = {(r.subj, r.pred, r.obj, r.obj_is_literal, r.obj_datatype,
+             r.obj_lang, r.src_graph) for r in df.collect()}
+    assert rows == {
+        ("http://e/a", "http://p/x", "http://e/b", False, None, None,
+         "http://g/1"),
+        ("http://e/a", "http://p/l", 'esc "q" and\nnl', True, None, None,
+         "http://g/1"),
+        ("http://e/c", "http://p/l", "hallo", True, None, "de", None),
+        ("http://e/c", "http://p/n", "5", True,
+         "http://www.w3.org/2001/XMLSchema#integer", None, "http://g/2"),
+    }
+    out = tmp_path / "out.nq"
+    write_nquads(df, str(out))
+    back = {(r.subj, r.pred, r.obj, r.obj_is_literal, r.obj_datatype,
+             r.obj_lang, r.src_graph)
+            for r in read_nquads(spark, str(out)).collect()}
+    assert back == rows
+    # no single-file funnel: the distributed writer is allowed >1 part
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan or "ArrowEvalPython" in plan
