@@ -537,6 +537,36 @@ def _q_token_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .cast("long")))
 
 
+_URL_FIXTURE = [
+    "HTTP://Example.COM:80/path/Page?b=2&utm_source=x&a=1#frag",
+    "https://example.com:443/?utm_campaign=c",
+    "https://example.com/",
+    "https://example.com",
+    "http://example.com:8080/x?z=1&y=2",
+    "http://other.org/path?fbclid=abc&keep=1",
+    "http://other.org/path?keep=1",
+    "ftp://Files.example.org:21/data",
+    "relative/no/scheme",
+    "https://example.com/a?ref=nav&gclid=g&msclkid=m",
+    "http://example.com/a?",
+    "https://EXAMPLE.com/CasePath?B=1&A=2",
+]
+
+
+def _q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL normalization (crawl-side URL dedup): fragment
+    drop, scheme+host lowercase, default-port strip, tracking-param
+    removal, param sort — all whole-stage-codegen column expressions
+    over a gnarly fixture."""
+    from pyontutils_spark.operators.filters import normalize_url_col
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(_URL_FIXTURE)],
+        "id long, url string")
+    return df.select("id", "url",
+                     normalize_url_col(F.col("url"))
+                     .alias("canonical_url"))
+
+
 def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode in the gate (no SQL analog — rows-only): 40
     synthetic MJPEG-AVI videos parsed by the pure-struct RIFF kernel,
@@ -1369,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "token_freq_score": _q_token_freq_score,
+        "url_normalize": _q_url_normalize,
     }
 
 
@@ -1707,6 +1738,52 @@ def oracle_sql() -> dict[str, str]:
                (sum(cf)::bigint * 10000 // count(*))::bigint AS mean_cf_e4
         FROM toks JOIN tf USING (t)
         GROUP BY doc_id
+        """
+
+    _url_values = ", ".join(f"({i}, '{u}')"
+                            for i, u in enumerate(_URL_FIXTURE))
+    sqls["url_normalize"] = f"""
+        WITH u0 AS (SELECT * FROM (VALUES {_url_values}) t(id, url)),
+        s AS (
+          SELECT id, url,
+            lower(regexp_extract(split_part(url, '#', 1),
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            regexp_replace(split_part(url, '#', 1),
+                  '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+          FROM u0),
+        h AS (SELECT *, split_part(split_part(rest, '/', 1), '?', 1)
+                     AS hostport FROM s),
+        p AS (
+          SELECT *, lower(split_part(hostport, ':', 1)) AS host,
+                 regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                 substr(rest, length(hostport) + 1) AS pathq
+          FROM h),
+        q AS (
+          SELECT *,
+            CASE WHEN split_part(pathq, '?', 1) = '' THEN '/'
+                 ELSE split_part(pathq, '?', 1) END AS path,
+            CASE WHEN position('?' IN pathq) > 0
+                 THEN substr(pathq, position('?' IN pathq) + 1)
+                 ELSE '' END AS query
+          FROM p),
+        f AS (
+          SELECT *, list_sort(list_filter(string_split(query, '&'),
+            x -> x != '' AND NOT (starts_with(x, 'utm_')
+              OR starts_with(x, 'fbclid=') OR starts_with(x, 'gclid=')
+              OR starts_with(x, 'msclkid=') OR starts_with(x, 'ref='))))
+            AS params
+          FROM q)
+        SELECT id, url,
+          CASE WHEN scheme = '' THEN url ELSE
+            scheme || '://' || host ||
+            CASE WHEN port != '' AND NOT ((scheme = 'http' AND port = '80')
+                 OR (scheme = 'https' AND port = '443'))
+                 THEN ':' || port ELSE '' END ||
+            path ||
+            CASE WHEN len(params) > 0
+                 THEN '?' || array_to_string(params, '&') ELSE '' END
+          END AS canonical_url
+        FROM f
         """
 
     sqls["asof_enrich"] = """

@@ -109,3 +109,56 @@ def graph_difference(a: DataFrame, b: DataFrame) -> DataFrame:
 def graph_intersection(a: DataFrame, b: DataFrame) -> DataFrame:
     key = ["subj", "pred", "obj", "obj_is_literal"]
     return a.join(b.select(*key).distinct(), key, "left_semi")
+
+
+_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "msclkid=", "ref=")
+
+
+def normalize_url_col(url) -> "F.Column":
+    """Canonical-URL normalization as pure column expressions (the
+    URL-dedup step of a crawl pipeline): drop the fragment, lowercase
+    scheme+host, strip default ports (http:80 / https:443), empty path
+    -> '/', drop tracking query params (utm_*, fbclid, gclid, msclkid,
+    ref), sort the surviving params.  URLs without a scheme pass
+    through unchanged.  Whole-stage-codegen string ops — no UDF."""
+    u = F.substring_index(url, "#", 1)
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    hostport = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
+    host = F.lower(F.substring_index(hostport, ":", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")))
+    pathq = F.substring(rest, F.length(hostport) + 1, 1_000_000)
+    path = F.substring_index(pathq, "?", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qpos = F.instr(pathq, "?")
+    query = F.when(qpos > 0,
+                   F.substring(pathq, qpos + 1, 1_000_000)) \
+        .otherwise(F.lit(""))
+    bad = F.lit(list(_TRACKING_PREFIXES))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~F.exists(
+            bad, lambda b: p.startswith(b)))
+    params = F.array_sort(params)
+    qstr = F.when(F.size(params) > 0,
+                  F.concat(F.lit("?"), F.array_join(params, "&"))) \
+        .otherwise(F.lit(""))
+    normalized = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path, qstr)
+    return F.when(scheme == "", url).otherwise(normalized)
+
+
+def url_dedup_groups(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Group rows by canonical URL: (canonical_url, n, urls sorted) —
+    the crawl-side exact-dup collapse that runs BEFORE content hashing
+    (two urls differing only in tracking params are the same page)."""
+    return (df.withColumn("canonical_url", normalize_url_col(F.col(url_col)))
+            .groupBy("canonical_url")
+            .agg(F.count("*").alias("n"),
+                 F.sort_array(F.collect_set(url_col)).alias("urls")))

@@ -94,3 +94,36 @@ def test_label_and_definition_check(spark):
         [("http://other.org/thing_0101432",)], "probe string")
     fr = fragment_check(fprobes, lex).collect()
     assert len(fr) == 1 and fr[0].iri == "http://e/ilx_0101432"
+
+
+def test_normalize_url_semantics(spark):
+    """Pinned expected values (engine-independent) for canonical-URL
+    normalization + the dedup grouping."""
+    from pyontutils_spark.operators.filters import (
+        normalize_url_col, url_dedup_groups)
+    from pyspark.sql import functions as F
+    cases = {
+        "HTTP://Example.COM:80/path/Page?b=2&utm_source=x&a=1#frag":
+            "http://example.com/path/Page?a=1&b=2",
+        "https://example.com:443/?utm_campaign=c": "https://example.com/",
+        "https://example.com": "https://example.com/",
+        "http://example.com:8080/x?z=1&y=2":
+            "http://example.com:8080/x?y=2&z=1",
+        "http://other.org/path?fbclid=abc&keep=1":
+            "http://other.org/path?keep=1",
+        "ftp://Files.example.org:21/data":
+            "ftp://files.example.org:21/data",
+        "relative/no/scheme": "relative/no/scheme",
+        "http://example.com/a?": "http://example.com/a",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r.url: r.c for r in df.select(
+        "url", normalize_url_col(F.col("url")).alias("c")).collect()}
+    assert got == cases
+    # dedup: tracking-only variants collapse to one canonical group
+    dups = spark.createDataFrame(
+        [("http://a.org/p?utm_source=x",), ("http://A.ORG/p",),
+         ("http://a.org/p#sec",), ("http://b.org/q",)], "url string")
+    groups = {r.canonical_url: r.n
+              for r in url_dedup_groups(dups).collect()}
+    assert groups == {"http://a.org/p": 3, "http://b.org/q": 1}
