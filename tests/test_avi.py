@@ -72,3 +72,23 @@ def test_sample_video_frames_spark_stage(spark):
     for mid, rs in by_id.items():
         assert min(r.frame_ts_ms for r in rs) == 0
         assert len(rs) >= 2
+
+
+def test_avi_without_video_stream_rejected():
+    """An AVI whose only stream is audio must raise 'no video stream'
+    (frame chunks from unknown streams are ignored, not mis-decoded)."""
+    import struct
+    from pyontutils_spark.kernel.avi import _chunk, _list
+    avih = struct.pack("<14I", 200000, 0, 0, 0, 0, 0, 1, 0, 0, 0,
+                       0, 0, 0, 0)
+    strh = (b"auds" + b"\x00\x00\x00\x00"
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 8000, 0, 0,
+                          0, 0xFFFFFFFF, 0)
+            + struct.pack("<4h", 0, 0, 0, 0))
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", strh)))
+    movi = _list(b"movi", _chunk(b"00wb", b"\x00\x01"))
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="no video stream"):
+        parse_avi_mjpeg(payload)

@@ -89,3 +89,20 @@ def test_warc_to_triple_factory_parity(spark, tmp_path):
     t_warc = {tuple(r) for r in
               run_triple_factory(spark, via_warc, lex).triples.collect()}
     assert t_warc == t_direct and len(t_direct) > 0
+
+
+def test_parse_warc_malformed():
+    import zlib
+    # record without Content-Length
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://x/\r\n\r\nbody")
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(bad)
+    # truncated header (no blank line)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\n")
+    # gzip stream that decompresses to non-WARC
+    c = zlib.compressobj(6, zlib.DEFLATED, 31)
+    gz = c.compress(b"plain text") + c.flush()
+    with pytest.raises(ValueError, match="WARC"):
+        parse_warc(gz)
