@@ -873,7 +873,7 @@ def _q_necromancy_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = spark.createDataFrame(
         [(s, p, o, il, None, None) for s, p, o, il in _NECRO_TRIPLES],
         vocab.TRIPLE_SCHEMA)
-    return rewrite_triples(t, replacement_mapping(t)) \
+    return rewrite_triples(t, replacement_mapping(t), broadcast=True) \
         .select("subj", "pred", "obj")
 
 
@@ -1214,9 +1214,10 @@ def _q_import_localize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: block on the top 8 signature bits,
-    verify hamming <= 3 — blocking + verify both recomputed in SQL
-    (xor + bit_count)."""
+    """SimHash near-dup pairs: block on 4 disjoint 8-bit bands of the
+    signature (full recall for hamming <= 3 by pigeonhole), verify
+    hamming <= 3 on candidates — banding + verify both recomputed in
+    SQL (band cross join + xor + bit_count)."""
     from pyontutils_spark.operators.dedup import simhash_near_dups
     docs = _docs(spark, sf_dir)
     return simhash_near_dups(docs, max_hamming=3) \
@@ -2306,12 +2307,21 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, ({" + ".join(bit_parts)})::bigint AS s
           FROM hashed WHERE len(hs) > 0
         ),
-        blk AS (SELECT doc_id, s, s >> 24 AS blk FROM sig)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               bit_count(xor(a.s, b.s))::bigint AS hamming
-        FROM blk a JOIN blk b
-          ON a.blk = b.blk AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.s, b.s)) <= 3
+        blk AS (
+          SELECT doc_id, s, band, (s >> (band * 8)) & 255 AS blk
+          FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) bands(band)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM blk a JOIN blk b
+            ON a.band = b.band AND a.blk = b.blk
+           AND a.doc_id < b.doc_id
+        )
+        SELECT c.id_a, c.id_b,
+               bit_count(xor(sa.s, sb.s))::bigint AS hamming
+        FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+                    JOIN sig sb ON sb.doc_id = c.id_b
+        WHERE bit_count(xor(sa.s, sb.s)) <= 3
         """
 
     sqls["dedup_clusters"] = f"""

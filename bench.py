@@ -87,6 +87,26 @@ def main() -> None:
     extras["n_triples"] = n_triples
     extras["n_pages"] = n_pages
 
+    # --- entity canonicalization end-to-end (duplicate-label sameAs
+    # candidates -> hub-safe CC -> rewrite join + owl:sameAs prov; the
+    # mapping side is NOT force-broadcast — AQE picks the join) ----------
+    from pyontutils_spark.plans.pipeline import canonicalize_triples
+
+    trip_path = os.path.join(CACHE_DIR, f"triples_{n_pages}.parquet")
+    if not os.path.exists(trip_path):
+        res.triples.write.parquet(trip_path)
+    trips = spark.read.parquet(trip_path)
+    _force(canonicalize_triples(trips.limit(2_000)))  # warm CC shape
+    canon_runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _force(canonicalize_triples(trips))
+        canon_runs.append(round(time.perf_counter() - t0, 3))
+    timings["canonicalize_triples"] = min(canon_runs)
+    extras["canonicalize_runs_sec"] = canon_runs
+    extras["canonicalize_triples_per_sec"] = round(
+        n_triples / timings["canonicalize_triples"], 1)
+
     # --- warmup: exercise codegen/broadcast/pandas-udf machinery once so
     # per-query timings measure the operator, not JVM warmup ------------
     warm = spark.range(1000).select(

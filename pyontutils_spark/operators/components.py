@@ -169,18 +169,29 @@ def sameas_candidates_from_lexicon(entity_labels: DataFrame) -> DataFrame:
     return rest.join(firsts, "label_norm").select("a", "b")
 
 
-def rewrite_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+def rewrite_triples(triples: DataFrame, mapping: DataFrame,
+                    broadcast: bool | None = None) -> DataFrame:
     """Replace subj/obj IRIs through (iri -> canonical_iri); literals
     untouched.  The switchURIs operation (ontutils.py:71-91) as joins.
     Returns rewritten triples unioned with owl:sameAs provenance triples
-    (non-canonical -> canonical, like swapUriSwitch ontutils.py:528)."""
+    (non-canonical -> canonical, like swapUriSwitch ontutils.py:528).
+
+    ``broadcast``: ``True`` forces a broadcast hint on the mapping side
+    — correct ONLY for curated replacement maps known to be small
+    (uriswitch / necromancy, dozens of rows).  The default ``None``
+    lets Catalyst/AQE choose: after a sameAs connected-components pass
+    over a web-scale corpus the mapping is proportional to the ENTITY
+    COUNT, and a forced broadcast would die at the driver — the
+    canonicalization path must stay a plain hash-partitioned join that
+    AQE may *choose* to broadcast when runtime stats say it fits."""
+    hint = F.broadcast if broadcast else (lambda df: df)
     msub = mapping.withColumnRenamed("iri", "subj") \
                   .withColumnRenamed("canonical_iri", "subj_canon")
     mobj = mapping.withColumnRenamed("iri", "obj") \
                   .withColumnRenamed("canonical_iri", "obj_canon")
     rewritten = (triples
-                 .join(F.broadcast(msub), "subj", "left")
-                 .join(F.broadcast(mobj), "obj", "left")
+                 .join(hint(msub), "subj", "left")
+                 .join(hint(mobj), "obj", "left")
                  .select(
                      F.coalesce("subj_canon", "subj").alias("subj"),
                      "pred",

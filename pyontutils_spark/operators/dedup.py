@@ -223,6 +223,23 @@ def lsh_blocking_ratio(docs: DataFrame, id_col: str = "doc_id",
     return cand / all_pairs
 
 
+def simhash_blocking_ratio(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", bits: int = 32,
+                           n_bands: int = 4) -> float:
+    """Diagnostic twin of ``lsh_blocking_ratio`` for the SimHash band
+    blocking: |candidate pairs| / |all pairs|.  Near 1 means the bands
+    keep nearly everything (signature collapse — e.g. a boilerplate-
+    dominated corpus) and the hamming verify would go quadratic."""
+    n = docs.count()
+    all_pairs = n * (n - 1) // 2
+    if all_pairs == 0:
+        return 0.0
+    sig = simhash_df(docs.select(id_col, text_col), id_col, text_col,
+                     bits).withColumnRenamed(id_col, "id")
+    cand = simhash_candidate_pairs(sig, bits, n_bands).count()
+    return cand / all_pairs
+
+
 def jaccard_verify(docs: DataFrame, pairs: DataFrame,
                    id_col: str = "doc_id", text_col: str = "text",
                    threshold: float = 0.0) -> DataFrame:
@@ -274,20 +291,61 @@ def hamming64(a, b) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_candidate_pairs(sig: DataFrame, bits: int = 32,
+                            n_bands: int = 4) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from a ``(id, sig)`` SimHash table by
+    blocking on EACH of ``n_bands`` disjoint ``bits/n_bands``-bit bands
+    (the Manku/Jain/Sarma rotated-table scheme as a band union — the
+    same id-only bucket-join shape as ``lsh_candidate_pairs``).
+
+    Recall guarantee (pigeonhole): any pair with hamming distance
+    <= n_bands - 1 differs in at most n_bands - 1 bands, so at least
+    one band is IDENTICAL and the pair collides there.  The default
+    4 bands over 32 bits therefore finds EVERY hamming<=3 pair — the
+    old single-8-bit-prefix blocking silently missed pairs whose
+    differing bit fell inside the prefix.
+
+    Scale: block cardinality is n_bands * 2^(bits/n_bands) (4 * 2^8 =
+    1024 blocks at the defaults, 4x the prefix scheme), and block sizes
+    stay bounded by the per-band value distribution rather than one
+    fixed 256-way split — the within-block self-join is the only
+    quadratic term and it is per-bucket, exactly like MinHash-LSH."""
+    assert bits % n_bands == 0
+    bw = bits // n_bands
+    mask = (1 << bw) - 1
+    banded = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftright("sig", i * bw).bitwiseAND(F.lit(mask))
+                     .alias("blk"))
+            for i in range(n_bands)])).alias("bb")) \
+        .select("id", "bb.band", "bb.blk")
+    a = banded.select("band", "blk", F.col("id").alias("id_a"))
+    b = banded.select("band", "blk", F.col("id").alias("id_b"))
+    return (a.join(b, ["band", "blk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
 def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", max_hamming: int = 3,
-                      bits: int = 32, prefix_bits: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash: block on the top ``prefix_bits`` of the
-    signature (cheap LSH), verify hamming <= max_hamming within block."""
+                      bits: int = 32, n_bands: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash: block on ``n_bands`` disjoint bands of
+    the signature (``simhash_candidate_pairs`` — full recall for
+    hamming <= n_bands - 1), then verify hamming <= max_hamming on the
+    candidates.  With the defaults (4 bands, max_hamming=3) the result
+    is EXACTLY the set of all pairs at hamming <= 3, computed without
+    an all-pairs join.  A ``max_hamming`` ABOVE n_bands - 1 is
+    best-effort (pairs differing in every band are missed) — raise
+    ``n_bands`` (and keep bits % n_bands == 0) to extend the exact
+    radius."""
     sig = simhash_df(docs.select(id_col, text_col), id_col, text_col,
                      bits).withColumnRenamed(id_col, "id")
-    blocked = sig.withColumn("blk", F.shiftright("sig", bits - prefix_bits))
-    a = blocked.select("blk", F.col("id").alias("id_a"),
-                       F.col("sig").alias("sig_a"))
-    b = blocked.select("blk", F.col("id").alias("id_b"),
-                       F.col("sig").alias("sig_b"))
-    return (a.join(b, "blk")
-            .filter(F.col("id_a") < F.col("id_b"))
+    cand = simhash_candidate_pairs(sig, bits, n_bands)
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
             .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))

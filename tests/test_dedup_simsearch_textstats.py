@@ -358,6 +358,50 @@ def test_lsh_blocking_ratio_small_on_distinct_corpus(spark):
     assert ratio < 0.02, ratio
 
 
+def test_simhash_band_recall_planted(spark):
+    """Full-recall guarantee of the 4-band blocking: EVERY pair at
+    hamming <= 3 must surface as a candidate — including pairs whose
+    differing bits all fall in the top 8 bits, which the old
+    single-prefix (sig >> 24) blocking silently missed."""
+    import random
+
+    from pyontutils_spark.operators.dedup import simhash_candidate_pairs
+    rnd = random.Random(7)
+    masks = []
+    # worst cases: all 3 diffs inside ONE band (incl. the old prefix)
+    for band in range(4):
+        masks.append((1 << (band * 8)) | (1 << (band * 8 + 3))
+                     | (1 << (band * 8 + 7)))
+    # random <=3-bit masks across the word
+    for _ in range(40):
+        m = 0
+        for b in rnd.sample(range(32), rnd.randint(1, 3)):
+            m |= 1 << b
+        masks.append(m)
+    rows = []
+    for i, m in enumerate(masks):
+        base = rnd.getrandbits(32)
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base ^ m))
+    sig = spark.createDataFrame(rows, "id long, sig long")
+    cand = {(r.id_a, r.id_b)
+            for r in simhash_candidate_pairs(sig).collect()}
+    for i, m in enumerate(masks):
+        assert (2 * i, 2 * i + 1) in cand, f"missed pair {i} mask={m:08x}"
+
+
+def test_simhash_blocking_ratio_small_on_distinct_corpus(spark):
+    """Band blocking must not collapse on a distinct corpus: with 4x256
+    blocks over random-ish signatures the candidate set stays ≪
+    all-pairs, so the hamming verify join cannot go quadratic."""
+    from pyontutils_spark.operators.dedup import simhash_blocking_ratio
+    rows = [(i, " ".join(f"t{i}x{j}" for j in range(25)))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ratio = simhash_blocking_ratio(df)
+    assert ratio < 0.05, ratio
+
+
 def test_gopher_quality_flags(spark):
     from pyontutils_spark.operators.textstats import gopher_quality_flags
     rows = [
