@@ -282,6 +282,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c:3 + 2 * c]
                 scomps.append({"id": cid, "dc": tabs >> 4, "ac": tabs & 0x0F})
+            if frame is not None and ns < len(frame["comps"]):
+                # legal baseline, but this decoder stops after the first
+                # SOS — decoding only the first component would return a
+                # silently wrong image (zeroed chroma), so fail loudly
+                # like progressive/arithmetic do
+                raise NotImplementedError(
+                    "non-interleaved multi-scan JPEG unsupported "
+                    f"(scan has {ns} of {len(frame['comps'])} components)")
             # entropy-coded data runs to the next non-RST marker
             scan_start = pos
             segments = []

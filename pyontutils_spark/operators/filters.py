@@ -119,19 +119,27 @@ def normalize_url_col(url) -> "F.Column":
     URL-dedup step of a crawl pipeline): drop the fragment, lowercase
     scheme+host, strip default ports (http:80 / https:443), empty path
     -> '/', drop tracking query params (utm_*, fbclid, gclid, msclkid,
-    ref), sort the surviving params.  URLs without a scheme pass
-    through unchanged.  Whole-stage-codegen string ops — no UDF."""
+    ref), sort the surviving params.  A userinfo prefix
+    (``user:pass@host``) is stripped from the canonical form — the
+    credentials don't change which page the URL names, so
+    ``url_dedup_groups`` should collapse them (and must NOT mistake the
+    username for the host).  URLs without a scheme pass through
+    unchanged.  Whole-stage-codegen string ops — no UDF."""
     u = F.substring_index(url, "#", 1)
     scheme = F.lower(
         F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
-    hostport = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
+    # authority BEFORE userinfo strip: path/query offsets key off its
+    # raw length, so compute it first and only then drop `user:pass@`
+    hostport_raw = F.substring_index(F.substring_index(rest, "/", 1),
+                                     "?", 1)
+    hostport = F.regexp_replace(hostport_raw, r"^[^/@]*@", "")
     host = F.lower(F.substring_index(hostport, ":", 1))
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     keep_port = (port != "") & ~(
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443")))
-    pathq = F.substring(rest, F.length(hostport) + 1, 1_000_000)
+    pathq = F.substring(rest, F.length(hostport_raw) + 1, 1_000_000)
     path = F.substring_index(pathq, "?", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     qpos = F.instr(pathq, "?")

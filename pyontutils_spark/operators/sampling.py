@@ -53,14 +53,30 @@ def hash_sample(df: DataFrame, id_col: str, num: int, den: int = 100,
 
 def pack_sequences(docs: DataFrame, id_col: str = "doc_id",
                    n_tokens_col: str = "n_tokens",
-                   budget: int = 4096, n_shards: int = 16) -> DataFrame:
+                   budget: int = 4096, n_shards: int | None = None,
+                   target_docs_per_shard: int = 250_000) -> DataFrame:
     """Concat-then-chunk sequence packing: within each shard
     (``h32(id) % n_shards``) documents are streamed in ascending id
     order, each starting at the running token offset; ``pack_id`` =
-    ``start_offset // budget`` (a document straddling a pack boundary
-    belongs to the pack it starts in — standard pretraining stream
-    chunking).  Output adds (shard, start_offset, pack_id).  One
-    running-sum window per shard; no global order, no driver state."""
+    ``start_offset div budget`` — exact integral division (a double
+    ``/`` + floor can round across a pack boundary for non-power-of-two
+    budgets and disagree with an integer oracle).  A document straddling
+    a pack boundary belongs to the pack it starts in — standard
+    pretraining stream chunking.  Output adds
+    (shard, start_offset, pack_id).
+
+    ``n_shards`` is the parallelism knob: each shard is ONE window
+    partition, so the per-shard row count must stay executor-sized.
+    When not given it is derived from the corpus:
+    ``max(16, ceil(n_docs / target_docs_per_shard))`` (one count job) —
+    at 10^12 documents that is ~4M shards, so no window partition ever
+    exceeds ``target_docs_per_shard`` rows regardless of corpus growth.
+    Within a shard the layout depends only on the ids hashed into it,
+    NOT on n_shards' history — but changing n_shards re-shards, so pin
+    it (or the target) per training run for reproducible packs."""
+    if n_shards is None:
+        n_docs = docs.count()
+        n_shards = max(16, -(-n_docs // target_docs_per_shard))
     shard = F.pmod(h32(F.col(id_col).cast("string")), F.lit(n_shards))
     w = (Window.partitionBy("shard").orderBy(F.col(id_col).asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -70,7 +86,7 @@ def pack_sequences(docs: DataFrame, id_col: str = "doc_id",
                        (F.col("_cum") - F.col(n_tokens_col))
                        .cast("long"))
            .withColumn("pack_id",
-                       F.floor(F.col("start_offset") / budget)
+                       F.expr(f"start_offset div {int(budget)}")
                        .cast("long"))
            .drop("_cum"))
     return out

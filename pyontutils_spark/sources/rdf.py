@@ -31,40 +31,64 @@ from ..kernel.rdfio import format_turtle, parse_ntriple
 from ..operators import vocab
 from ..operators.ordering import canonical_order
 
-_NT_REGEX = (r"^\s*<([^>]*)>\s+<([^>]*)>\s+"
-             r"(?:<([^>]*)>|\"((?:[^\"\\]|\\.)*)\""
-             r"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?)\s*\.\s*$")
+# Subject / graph position: IRI or blank node.  Blank node labels are
+# matched permissively (`_:` + non-space run; backtracking yields a
+# trailing `.`) — Web Data Commons-style dumps are bnode-HEAVY, so a
+# <IRI>-only pattern would silently drop a large share of statements.
+# Bnodes keep their `_:label` lexical form in subj/obj (document-scoped
+# labels; skolemize via operators for cross-file identity).
+_BNODE = r"(_:[^\s]+)"
+_NT_CORE = (r"^\s*(?:<([^>]*)>|" + _BNODE + r")\s+<([^>]*)>\s+"
+            r"(?:<([^>]*)>|(_:[^\s]+)|\"((?:[^\"\\]|\\.)*)\""
+            r"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?)")
+_NT_REGEX = _NT_CORE + r"\s*\.\s*$"
 
+# N-Quads = the NT pattern + an optional <graph>/bnode term before the dot
+_NQ_REGEX = _NT_CORE + r"(?:\s+(?:<([^>]*)>|(_:[^\s]+)))?\s*\.\s*$"
 
-# N-Quads = the NT pattern + an optional <graph> term before the dot
-_NQ_REGEX = (r"^\s*<([^>]*)>\s+<([^>]*)>\s+"
-             r"(?:<([^>]*)>|\"((?:[^\"\\]|\\.)*)\""
-             r"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?)"
-             r"(?:\s+<([^>]*)>)?\s*\.\s*$")
+# capture-group indices in _NT_CORE-based patterns
+_G_SUBJ_IRI, _G_SUBJ_BN, _G_PRED = 1, 2, 3
+_G_OBJ_IRI, _G_OBJ_BN, _G_LIT, _G_LANG, _G_DT = 4, 5, 6, 7, 8
+_G_GRAPH_IRI, _G_GRAPH_BN = 9, 10
 
 
 def _read_nlines(spark: SparkSession, path: str, regex: str,
-                 with_graph: bool) -> DataFrame:
+                 with_graph: bool, strict: bool = False) -> DataFrame:
     lines = spark.read.text(path)
     g = lambda i: F.regexp_extract("value", regex, i)  # noqa: E731
-    cols = [g(1).alias("subj"), g(2).alias("pred"),
-            g(3).alias("obj_iri"), g(4).alias("obj_lit"),
-            g(5).alias("obj_lang"), g(6).alias("obj_datatype")]
+    first = lambda a, b: F.when(a != "", a).otherwise(b)  # noqa: E731
+    cols = [first(g(_G_SUBJ_IRI), g(_G_SUBJ_BN)).alias("subj"),
+            g(_G_PRED).alias("pred"),
+            first(g(_G_OBJ_IRI), g(_G_OBJ_BN)).alias("obj_node"),
+            g(_G_LIT).alias("obj_lit"),
+            g(_G_LANG).alias("obj_lang"),
+            g(_G_DT).alias("obj_datatype")]
     if with_graph:
-        cols.append(g(7).alias("graph"))
-    parsed = (lines
-              .filter(F.trim("value") != "")
-              .filter(~F.trim("value").startswith("#"))
-              .select(*cols)
-              .filter(F.col("subj") != ""))
+        cols.append(first(g(_G_GRAPH_IRI), g(_G_GRAPH_BN)).alias("graph"))
+    content = (lines
+               .filter(F.trim("value") != "")
+               .filter(~F.trim("value").startswith("#")))
+    if strict:
+        # routing the filter through assert_true makes every
+        # unparseable content line a loud error instead of a silent
+        # drop.  The blank/comment exemptions are INSIDE the asserted
+        # condition — Catalyst may reorder conjunctive filters, so the
+        # assert must be safe to evaluate on every raw line.
+        ok = (F.col("value").rlike(regex)
+              | (F.trim("value") == "")
+              | F.trim("value").startswith("#"))
+        bad_msg = F.concat(
+            F.lit("unparseable N-Triples/N-Quads line: "), F.col("value"))
+        content = content.filter(F.assert_true(ok, bad_msg).isNull())
+    parsed = content.select(*cols).filter(F.col("subj") != "")
     unescaped = F.when(
         F.col("obj_lit").contains("\\"),
         _unescape_udf(F.col("obj_lit"))).otherwise(F.col("obj_lit"))
     out_cols = [
         F.col("subj"), F.col("pred"),
-        F.when(F.col("obj_iri") != "", F.col("obj_iri"))
+        F.when(F.col("obj_node") != "", F.col("obj_node"))
         .otherwise(unescaped).alias("obj"),
-        (F.col("obj_iri") == "").alias("obj_is_literal"),
+        (F.col("obj_node") == "").alias("obj_is_literal"),
         F.when(F.col("obj_datatype") != "", F.col("obj_datatype"))
         .cast("string").alias("obj_datatype"),
         F.when(F.col("obj_lang") != "", F.col("obj_lang"))
@@ -76,25 +100,35 @@ def _read_nlines(spark: SparkSession, path: str, regex: str,
     return parsed.select(*out_cols)
 
 
-def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+def read_ntriples(spark: SparkSession, path: str,
+                  strict: bool = False) -> DataFrame:
     """Parse .nt files into the engine triple schema.
 
     Fast path: one JVM regexp per line (regexp_extract on the scan —
     whole-stage codegen, no Python).  Literal unescaping (\\n etc.)
     is finished by a tiny pandas UDF only on literal rows that contain
-    a backslash.
-    """
-    return _read_nlines(spark, path, _NT_REGEX, with_graph=False)
+    a backslash.  Blank-node subjects/objects (``_:b0``) are kept with
+    their ``_:label`` lexical form.  Default mode silently skips lines
+    that match neither the statement grammar nor blank/comment;
+    ``strict=True`` raises on the first such line instead (use it when
+    a dump must be ingested loss-free)."""
+    return _read_nlines(spark, path, _NT_REGEX, with_graph=False,
+                        strict=strict)
 
 
-def read_nquads(spark: SparkSession, path: str) -> DataFrame:
+def read_nquads(spark: SparkSession, path: str,
+                strict: bool = False) -> DataFrame:
     """Parse .nq files (N-Quads — the format web-scale RDF extractions
     like Web Data Commons ship in) into triple rows plus a
     ``src_graph`` column (NULL for default-graph statements).  Same
     line-parallel JVM regexp fast path as :func:`read_ntriples` — the
     ONLY RDF syntax here that needs no document-level state, so a
-    single giant dump file still splits across tasks."""
-    return _read_nlines(spark, path, _NQ_REGEX, with_graph=True)
+    single giant dump file still splits across tasks.  Blank nodes are
+    accepted in subject/object/graph position (WDC dumps are
+    bnode-heavy); ``strict=True`` raises on unparseable content lines
+    instead of skipping them."""
+    return _read_nlines(spark, path, _NQ_REGEX, with_graph=True,
+                        strict=strict)
 
 
 from pyspark.sql.types import StringType
@@ -104,6 +138,14 @@ from pyspark.sql.types import StringType
 def _unescape_udf(s: pd.Series) -> pd.Series:
     from ..kernel.rdfio import _unescape
     return s.map(lambda x: None if x is None else _unescape(x))
+
+
+def _iri_or_bnode(col) -> F.Column:
+    """Format a node term: ``_:label`` stays bare, IRIs get ``<>`` —
+    keeps the reader's bnode representation round-trippable."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.startswith("_:"), c) \
+        .otherwise(F.concat(F.lit("<"), c, F.lit(">")))
 
 
 def _nt_terms():
@@ -122,10 +164,10 @@ def _nt_terms():
               F.concat(F.lit("^^<"), F.col("obj_datatype"), F.lit(">")))
         .otherwise(F.lit("")))
     line = F.concat(
-        F.lit("<"), F.col("subj"), F.lit("> <"), F.col("pred"),
+        _iri_or_bnode("subj"), F.lit(" <"), F.col("pred"),
         F.lit("> "),
         F.when(F.col("obj_is_literal"), lit)
-        .otherwise(F.concat(F.lit("<"), F.col("obj"), F.lit(">"))))
+        .otherwise(_iri_or_bnode("obj")))
     return line
 
 
@@ -156,7 +198,7 @@ def write_nquads(triples: DataFrame, path: str,
         line = F.concat(
             spo,
             F.when(F.col(graph_col).isNotNull(),
-                   F.concat(F.lit(" <"), F.col(graph_col), F.lit(">")))
+                   F.concat(F.lit(" "), _iri_or_bnode(graph_col)))
             .otherwise(F.lit("")),
             F.lit(" ."))
     else:
@@ -278,18 +320,37 @@ def write_turtle_html_string(triples: DataFrame, prefix_map=None,
         iri = ns + local
         return atag(iri, m.group(0), lbls.get(iri))
 
+    # literal guard: walk \\\\ / \\&quot; / &quot; tokens so an ESCAPED
+    # quote inside a literal (\" in the source, \&quot; after escaping)
+    # never flips the in-literal state, and the state carries across
+    # lines for multi-line literals — qname-like text inside literals
+    # is never linkified, code after them always is
+    delim = _re.compile(r"\\\\|\\&quot;|&quot;")
+    in_lit = False
+
+    def link_outside_literals(text: str) -> str:
+        nonlocal in_lit
+        out, last = [], 0
+        for m in delim.finditer(text):
+            if m.group(0) != "&quot;":
+                continue                      # escape sequence: no toggle
+            seg = text[last:m.start()]
+            out.append(seg if in_lit else token.sub(link_tokens, seg))
+            out.append("&quot;")
+            last = m.end()
+            in_lit = not in_lit
+        tail = text[last:]
+        out.append(tail if in_lit else token.sub(link_tokens, tail))
+        return "".join(out)
+
     out_lines = []
     for line in _h.escape(ttl).split("\n"):
         stripped = line.lstrip(" ")
         indent = " " * (len(line) - len(stripped))
-        if stripped.startswith("@prefix"):
+        if not in_lit and stripped.startswith("@prefix"):
             out_lines.append(indent + stripped)   # plain, like the ref
             continue
-        # literal guard: only even &quot;-split segments are code
-        segs = stripped.split("&quot;")
-        segs = [token.sub(link_tokens, s) if i % 2 == 0 else s
-                for i, s in enumerate(segs)]
-        out_lines.append(indent + "&quot;".join(segs))
+        out_lines.append(indent + link_outside_literals(stripped))
     return "<br>\n".join(out_lines)
 
 

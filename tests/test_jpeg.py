@@ -132,6 +132,20 @@ def test_progressive_and_arithmetic_rejected():
         decode_jpeg(bytes(payload))
 
 
+def test_non_interleaved_multi_scan_rejected():
+    """A baseline file whose first scan covers fewer components than
+    the frame (per-component scans) must fail loudly — this decoder
+    stops after one SOS, and decoding just luma would silently return
+    a wrong (zero-chroma) image."""
+    img = _gradient(16, 16)
+    payload = bytearray(encode_jpeg(img))
+    i = payload.index(b"\xff\xda")
+    assert payload[i + 4] == 3               # interleaved YCbCr scan
+    payload[i + 4] = 1                       # claim a luma-only scan
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(bytes(payload))
+
+
 def test_decode_image_dispatches_jpeg():
     from pyontutils_spark.operators.multimodal import decode_image
     img = _gradient(16, 24)

@@ -104,6 +104,34 @@ def test_turtle_html_variant(spark, tdf):
     assert "&quot;a label&quot;" in html or "&quot;" in html
 
 
+def test_turtle_html_escaped_quote_literal_guard(spark):
+    """An escaped quote (\\" in the source) inside a literal must NOT
+    flip the in-literal state: qname-like text inside the literal stays
+    unlinked, and real code AFTER the literal is still linkified."""
+    from pyontutils_spark.operators import vocab
+    from pyontutils_spark.sources.rdf import write_turtle_html_string
+    rows = [
+        ("http://www.w3.org/2002/07/owl#e1", vocab.RDF_TYPE,
+         "http://www.w3.org/2002/07/owl#Class", False, None, None),
+        # literal with escaped quotes around a qname-looking token
+        ("http://www.w3.org/2002/07/owl#e1", vocab.RDFS_LABEL,
+         'say "owl:Thing" loudly', True, None, None),
+        # and a backslash-before-quote trap: literal ends \\ then "
+        ("http://www.w3.org/2002/07/owl#e1",
+         "http://www.w3.org/2000/01/rdf-schema#comment",
+         "trailing backslash \\", True, None, None),
+    ]
+    tdf = spark.createDataFrame(rows, vocab.TRIPLE_SCHEMA)
+    html = write_turtle_html_string(tdf)
+    # the qname inside the literal is NOT linkified
+    assert ">owl:Thing</a>" not in html
+    # the real owl:Class object IS linkified
+    assert ('<a href="http://www.w3.org/2002/07/owl#Class" '
+            'target="_blank">owl:Class</a>') in html
+    # the literal's escaped quotes survive verbatim
+    assert "\\&quot;owl:Thing\\&quot;" in html
+
+
 def test_read_obo_emits_header_triples(spark, tmp_path):
     p = tmp_path / "h.obo"
     p.write_text("format-version: 1.2\nontology: go\n"
@@ -200,3 +228,57 @@ def test_nquads_roundtrip_and_graph_column(spark, tmp_path):
     # no single-file funnel: the distributed writer is allowed >1 part
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan or "ArrowEvalPython" in plan
+
+
+def test_nquads_blank_nodes_roundtrip(spark, tmp_path):
+    """WDC-style dumps are bnode-heavy: _: terms must parse in subject,
+    object AND graph position (the old <IRI>-only regex silently
+    dropped them), keep their _:label lexical form, and round-trip
+    through the distributed writer."""
+    from pyontutils_spark.sources.rdf import (
+        read_nquads, read_ntriples, write_nquads)
+    nq = tmp_path / "bn.nq"
+    nq.write_text(
+        '_:b0 <http://p/x> <http://e/a> <http://g/1> .\n'
+        '<http://e/a> <http://p/y> _:b0 .\n'
+        '_:b0 <http://p/l> "lit"@en _:g1 .\n'
+        '_:n1.dot <http://p/x> _:b2 .\n')
+    df = read_nquads(spark, str(nq))
+    rows = {(r.subj, r.pred, r.obj, r.obj_is_literal, r.obj_lang,
+             r.src_graph) for r in df.collect()}
+    assert rows == {
+        ("_:b0", "http://p/x", "http://e/a", False, None, "http://g/1"),
+        ("http://e/a", "http://p/y", "_:b0", False, None, None),
+        ("_:b0", "http://p/l", "lit", True, "en", "_:g1"),
+        ("_:n1.dot", "http://p/x", "_:b2", False, None, None),
+    }
+    out = tmp_path / "bn_out.nq"
+    write_nquads(df, str(out))
+    back = {(r.subj, r.pred, r.obj, r.obj_is_literal, r.obj_lang,
+             r.src_graph)
+            for r in read_nquads(spark, str(out)).collect()}
+    assert back == rows
+    # N-Triples path accepts bnodes too
+    nt = tmp_path / "bn.nt"
+    nt.write_text('_:s <http://p/x> _:o .\n')
+    got = read_ntriples(spark, str(nt)).collect()
+    assert [(r.subj, r.obj) for r in got] == [("_:s", "_:o")]
+
+
+def test_nquads_strict_mode_raises_on_bad_line(spark, tmp_path):
+    """Default mode skips unparseable lines (documented); strict=True
+    turns every dropped content line into a loud error — comments and
+    blanks stay exempt."""
+    import pytest
+
+    from pyontutils_spark.sources.rdf import read_nquads
+    good = tmp_path / "good.nq"
+    good.write_text('# header\n\n<http://e/a> <http://p/x> "v" .\n')
+    assert read_nquads(spark, str(good), strict=True).count() == 1
+    bad = tmp_path / "bad.nq"
+    bad.write_text('<http://e/a> <http://p/x> "v" .\n'
+                   'this is not a statement\n')
+    assert read_nquads(spark, str(bad)).count() == 1  # silent skip
+    with pytest.raises(Exception) as ei:
+        read_nquads(spark, str(bad), strict=True).count()
+    assert "unparseable" in str(ei.value)
