@@ -503,6 +503,13 @@ class NifTtlSerializer:
     #: newline mode: True = the nifttl layout; False = the compact
     #: one-statement-per-line layout (CompactTurtleSerializer)
     _newline = True
+    #: structural newline / space — every layout newline and
+    #: token-separating space goes through these (reference
+    #: serializers.py:156-157); the HTML subclass swaps them for
+    #: ``<br>\n`` / NBSP exactly like HtmlTurtleSerializer
+    #: (serializers.py:784-785)
+    _nl = "\n"
+    _space = " "
     VERSION_COMMENT = VERSION_COMMENT
     #: curated predicate priority + the natural-sort key — the two
     #: knobs the reference's serializer family overrides
@@ -529,7 +536,7 @@ class NifTtlSerializer:
         self._serialized: set = set()
         self._refs = dict(self.graph.refs)
         self.depth = 0
-        self.indent_str = "    "
+        self.indent_str = self._space * 4
         self._parts: list[str] = []
 
     def _extend_namespaces(self, rows, ns):
@@ -841,7 +848,7 @@ class NifTtlSerializer:
         if reorder:
             to_sort.sort(key=lambda t: (self._global_sort_key(t),
                                         _term_str(t)))
-        ws = "\n" + self._indent(1) if self._newline else ""
+        ws = self._nl + self._indent(1) if self._newline else ""
         for item in to_sort:
             self._write(ws)
             self._path(item, "object", newline=self._newline)
@@ -851,20 +858,20 @@ class NifTtlSerializer:
                 or self._refs.get(term, 0) > 1 or position == "subject"):
             return False
         if not newline:
-            self._write(" ")
+            self._write(self._space)
         if self._is_valid_list(term):
             self._write("(")
             self.depth += 1
             self._do_list(term)
             self.depth -= 1
-            self._write(" )")
+            self._write(self._space + ")")
         else:
             self._serialized.add(term)
             self.depth += 2
             self._write("[")
             self.depth -= 1
             if self._predicate_list(term, newline=False):
-                self._write(" ")
+                self._write(self._space)
             self._write("]")
             self.depth -= 1
         return True
@@ -872,7 +879,7 @@ class NifTtlSerializer:
     def _path(self, term, position, newline=False):
         if not self._p_squared(term, position, newline):
             if position != "subject" and not newline:
-                self._write(" ")
+                self._write(self._space)
             self._write(self._label(term, position))
 
     def _object_list(self, objects):
@@ -883,7 +890,7 @@ class NifTtlSerializer:
             return
         self.depth += 1
         self._path(objects[0], "object")
-        sep = ",\n" + self._indent(1) if self._newline else ","
+        sep = "," + self._nl + self._indent(1) if self._newline else ","
         for obj in objects[1:]:
             self._write(sep)
             self._path(obj, "object", newline=self._newline)
@@ -902,7 +909,8 @@ class NifTtlSerializer:
         plist = sorted(props, key=lambda p: self.pred_rank[p])
         self._path(plist[0], "verb", newline)
         self._object_list(props[plist[0]])
-        ws = " ;\n" + self._indent(1) if self._newline else ";"
+        ws = (self._space + ";" + self._nl + self._indent(1)
+              if self._newline else ";")
         for p in plist[1:]:
             self._write(ws)
             self._path(p, "verb", newline=self._newline)
@@ -911,17 +919,23 @@ class NifTtlSerializer:
 
     def _statement(self, subject):
         self._serialized.add(subject)
-        lead = "\n" + self._indent() if self._newline else ""
+        lead = self._nl + self._indent() if self._newline else ""
         if subject[0] == "b" and self._refs.get(subject, 0) == 0:
             self._write(lead + "[]")
             self._predicate_list(subject)
-            self._write(" .")
+            self._write(self._space + ".")
             return True
         self._write(lead)
         self._path(subject, "subject")
         self._predicate_list(subject)
-        self._write(" .")
+        self._write(self._space + ".")
         return True
+
+    def _prefix_line(self, prefix: str, uri: str) -> str:
+        """One prefix-block line; the literal space before the dot is a
+        REAL space in every mode (reference startDocument format
+        string, serializers.py:488,797)."""
+        return f"@prefix {prefix}: <{uri}> ." + self._nl
 
     def serialize(self) -> str:
         self._parts = []
@@ -931,18 +945,19 @@ class NifTtlSerializer:
         ns_list = sorted(sorted(self.qnamer.namespaces.items()),
                          key=lambda kv: (self.sortkey(kv[0]), kv[1]))
         for prefix, uri in ns_list:
-            self._write(f"@prefix {prefix}: <{uri}> .\n")
+            self._write(self._prefix_line(prefix, uri))
         sections = self._order_subjects()
-        headers = ["### " + s + "\n" if s else "" for s in SECTIONS]
+        headers = ["###" + self._space + s + self._nl if s else ""
+                   for s in SECTIONS]
         for header, subjects in zip(headers, sections):
             if subjects and header:
-                self._write("\n" + header)
+                self._write(self._nl + header)
             for subject in subjects:
                 if subject in self._serialized:
                     continue
                 if self._statement(subject):
-                    self._write("\n")
-        self._write("\n" + self.VERSION_COMMENT + "\n")
+                    self._write(self._nl)
+        self._write(self._nl + self.VERSION_COMMENT + self._nl)
         return "".join(self._parts)
 
 
@@ -1118,3 +1133,105 @@ def serialize_det(rows, namespaces: dict[str, str],
     """Graph-hashing layout: qname-only predicate order, raw sortkey."""
     return DeterministicTtlSerializer(rows, namespaces,
                                       is_bnode).serialize()
+
+
+class RacketTtlSerializer(NifTtlSerializer):
+    """Racket-embedded turtle (``RacketTurtleSerializer``,
+    ``serializers.py:827-831``): the standard nifttl document preceded
+    by a ``#lang rdf/turtle`` line, so the file is directly loadable as
+    a Racket module — nothing else differs from the base layout."""
+
+    def serialize(self) -> str:
+        return "#lang rdf/turtle\n" + super().serialize()
+
+
+def serialize_racket(rows, namespaces: dict[str, str],
+                     is_bnode=None) -> str:
+    """nifttl with the ``#lang rdf/turtle`` header (rktttl)."""
+    return RacketTtlSerializer(rows, namespaces, is_bnode).serialize()
+
+
+def html_atag(href: str, value: str | None = None, new_tab: bool = False,
+              title: str | None = None) -> str:
+    """The reference's ``htmlfn.atag`` format, verbatim semantics
+    (``htmlfn/htmlfn/__init__.py:47-60``): no attribute escaping, the
+    value falls back to the href, and a title grows the tooltip-div
+    wrapper."""
+    target = ' target="_blank"' if new_tab else ""
+    title_tip = ("" if title is None else
+                 f'<div class="cont"> <div class="tooltip">{title}'
+                 "</div></div></div>")
+    tstart = "" if title is None else '<div class="tip">'
+    title_attr = "" if title is None else f' title="{title}"'
+    if value is None:
+        value = href
+    return (f'{tstart}<a href="{href}"{target}{title_attr}>'
+            f"{value}</a>{title_tip}")
+
+
+class HtmlTtlSerializer(NifTtlSerializer):
+    """Hyperlinked ttl (``HtmlTurtleSerializer``,
+    ``serializers.py:781-824``): the nifttl layout with ``<br>\n``
+    newlines and NBSP structural spaces/indentation
+    (``_nl``/``_space``, :784-785), a plain prefix block with
+    ``&lt;``-escaped IRIs (startDocument, :793-799), and label-time
+    linkification (label(), :801-817): every IRI/qname — subject,
+    verb, object, literal datatype — renders as an ``htmlfn.atag``
+    whose title is the node's rdfs:label when known; literals
+    otherwise render EXACTLY as in plain mode (the reference never
+    html-escapes literal content).  ``labels`` merges external labels
+    like the serialize(labels=...) kwarg (:819-824)."""
+
+    _nl = "<br>\n"
+    _space = "\u00A0"
+
+    def __init__(self, rows, namespaces, is_bnode=None,
+                 labels: dict | None = None):
+        super().__init__(rows, namespaces, is_bnode)
+        # {s: str(o) for s, o in store[:RDFS.label:]} (reference :791)
+        self._labels = {s: o for s, p, o, il, _dt, _lg in rows
+                        if p == RDFS_NS + "label" and il}
+        if labels:
+            self._labels.update(labels)
+
+    def _prefix_line(self, prefix: str, uri: str) -> str:
+        # startDocument, serializers.py:797: escaped brackets, no atag
+        return f"@prefix {prefix}: &lt;{uri}&gt; ." + self._nl
+
+    def _label(self, term, position):
+        if term == ("u", RDF_NIL):
+            return "()"
+        if position == "verb" and term == ("u", RDF_TYPE):
+            return "a"
+        if term[0] == "l":
+            return self._literal_n3(term)
+        if term[0] == "b":
+            return super()._label(term, position)
+        iri = term[1]
+        q = self.qnamer.out_qname(iri)
+        out = q if q is not None else "<%s>" % iri
+        out = out.replace("<", "&lt;").replace(">", "&gt;")
+        return html_atag(iri, out, new_tab=True,
+                         title=self._labels.get(iri))
+
+    def _literal_n3(self, term):
+        # label() Literal branch: _literal_n3(use_plain=True,
+        # qname_callback=atag-wrapped qname) — only the DATATYPE is
+        # linkified, the lexical form is untouched
+        _, lex, dt, lang = term
+        if dt in _PLAIN_TYPES and literal_value(lex, dt) is not None:
+            return lex
+        enc = _quote_encode(lex)
+        if lang:
+            return f"{enc}@{lang}"
+        if dt:
+            q = self.qnamer.out_qname(dt)
+            return enc + "^^" + html_atag(dt, q, new_tab=True)
+        return enc
+
+
+def serialize_html(rows, namespaces: dict[str, str], is_bnode=None,
+                   labels: dict | None = None) -> str:
+    """Hyperlinked deterministic turtle (HtmlTurtleSerializer shape)."""
+    return HtmlTtlSerializer(rows, namespaces, is_bnode,
+                             labels).serialize()

@@ -270,18 +270,16 @@ def write_turtle_html_string(triples: DataFrame, prefix_map=None,
                              labels: dict | None = None) -> str:
     """Hyperlinked-ttl presentation variant (HtmlTurtleSerializer,
     ttlser/serializers.py:781-824 — in the reference too a subclass of
-    the nifttl serializer).  Structure mirrors the reference: nifttl
-    layout with ``<br>\\n`` line endings and NBSP indentation
-    (``_nl``/``_space``, serializers.py:784-785), prefix block written
-    plain (startDocument, :793-799), every full IRI *and* qname outside
-    string literals wrapped in an ``<a href target="_blank">`` whose
-    ``title`` is the node's rdfs:label when known (label(),
-    :801-817); ``labels`` merges external labels exactly like the
+    the nifttl serializer; here likewise a subclass of the byte-parity
+    nifttl kernel, ``kernel/nifttl.HtmlTtlSerializer``).  Reference
+    mechanics mirrored at label() time, not post-hoc: ``<br>\n``
+    newlines + NBSP structural spaces/indent (:784-785), plain prefix
+    block with &lt;-escaped IRIs (:793-799), every IRI/qname (and
+    literal datatype qname) wrapped in an ``htmlfn.atag`` whose title
+    is the node's rdfs:label when known (:801-817), literal content
+    untouched; ``labels`` merges external labels exactly like the
     serialize(labels=...) kwarg (:819-824)."""
-    import html as _h
-    import re as _re
-
-    from ..kernel.nifttl import serialize_nifttl
+    from ..kernel.nifttl import serialize_html
 
     rows = [(r.subj, r.pred, r.obj, r.obj_is_literal, r.obj_datatype,
              r.obj_lang) for r in triples.collect()]
@@ -291,67 +289,7 @@ def write_turtle_html_string(triples: DataFrame, prefix_map=None,
         namespaces = DEFAULT_PREFIXES.cull(iris)
     else:
         namespaces = dict(prefix_map)
-    lbls = {s: o for (s, p, o, il, _dt, _lg) in rows
-            if p == vocab.RDFS_LABEL and il}
-    if labels:
-        lbls.update(labels)
-    ttl = serialize_nifttl(rows, namespaces)
-
-    def atag(href: str, text: str, title: str | None) -> str:
-        t = (f' title="{_h.escape(title, quote=True)}"'
-             if title is not None else "")
-        return (f'<a href="{_h.escape(href, quote=True)}"'
-                f' target="_blank"{t}>{text}</a>')
-
-    # one alternation pass: a replacement is never re-scanned, so
-    # inserted hrefs/titles cannot be qname-matched again
-    token = _re.compile(
-        r"&lt;(?P<iri>http[^&\s]*)&gt;"
-        r"|(?<![\w&#;:-])(?P<pref>[A-Za-z][\w.-]*):(?P<local>[\w][\w.-]*)")
-
-    def link_tokens(m: "_re.Match") -> str:
-        if m.group("iri"):
-            iri = m.group("iri")
-            return "&lt;" + atag(iri, iri, lbls.get(iri)) + "&gt;"
-        pref, local = m.group("pref"), m.group("local")
-        ns = namespaces.get(pref)
-        if ns is None:
-            return m.group(0)
-        iri = ns + local
-        return atag(iri, m.group(0), lbls.get(iri))
-
-    # literal guard: walk \\\\ / \\&quot; / &quot; tokens so an ESCAPED
-    # quote inside a literal (\" in the source, \&quot; after escaping)
-    # never flips the in-literal state, and the state carries across
-    # lines for multi-line literals — qname-like text inside literals
-    # is never linkified, code after them always is
-    delim = _re.compile(r"\\\\|\\&quot;|&quot;")
-    in_lit = False
-
-    def link_outside_literals(text: str) -> str:
-        nonlocal in_lit
-        out, last = [], 0
-        for m in delim.finditer(text):
-            if m.group(0) != "&quot;":
-                continue                      # escape sequence: no toggle
-            seg = text[last:m.start()]
-            out.append(seg if in_lit else token.sub(link_tokens, seg))
-            out.append("&quot;")
-            last = m.end()
-            in_lit = not in_lit
-        tail = text[last:]
-        out.append(tail if in_lit else token.sub(link_tokens, tail))
-        return "".join(out)
-
-    out_lines = []
-    for line in _h.escape(ttl).split("\n"):
-        stripped = line.lstrip(" ")
-        indent = " " * (len(line) - len(stripped))
-        if not in_lit and stripped.startswith("@prefix"):
-            out_lines.append(indent + stripped)   # plain, like the ref
-            continue
-        out_lines.append(indent + link_outside_literals(stripped))
-    return "<br>\n".join(out_lines)
+    return serialize_html(rows, namespaces, labels=labels)
 
 
 def _per_file_source(spark: SparkSession, path: str, parse) -> DataFrame:

@@ -207,6 +207,75 @@ def test_uncompact_and_det_serializers():
     assert serialize_det(r3, p3) == det
 
 
+@needs_ref
+def test_racket_serializer_header_and_fixpoint():
+    """rktttl (RacketTurtleSerializer, serializers.py:827-831): the
+    plain nifttl document preceded by exactly one `#lang rdf/turtle`
+    line; body bytes identical to nifttl; deterministic fixpoint (the
+    header is not turtle, so the fixpoint strips it before reparse —
+    same as Racket's reader would)."""
+    import random
+    from pyontutils_spark.kernel.nifttl import (
+        serialize_nifttl, serialize_racket)
+    text = (REF / "nasty.ttl").read_text()
+    rows, prefixes, _ = parse_turtle_document(text, "nasty.ttl")
+    out = serialize_racket(rows, prefixes)
+    header, _, body = out.partition("\n")
+    assert header == "#lang rdf/turtle"
+    assert body == serialize_nifttl(rows, prefixes)
+    r2 = list(rows)
+    random.Random(5).shuffle(r2)
+    assert serialize_racket(r2, prefixes) == out
+    rows2, p2, _ = parse_turtle_document(body, "rt")
+    assert serialize_racket(rows2, p2) == out
+
+
+def test_html_serializer_byte_golden():
+    """HtmlTtlSerializer byte-parity against the audited golden
+    (tests/golden/html_small.golden.html — derived once from the
+    reference's documented structure: HtmlTurtleSerializer
+    serializers.py:781-824 + htmlfn.atag htmlfn/__init__.py:47-60,
+    each construct hand-checked: &lt;-escaped plain prefix block,
+    ###+NBSP section headers, NBSP structural spaces/indent, <br>\\n
+    newlines, tooltip-div atags for labeled nodes, bare plain-typed
+    literals, linkified datatype qnames, full-IRI anchor text for
+    unprefixable datatypes, escaped <>-bracket anchor text for
+    unprefixable nodes, NBSP-dot stanza ends).  Also asserts the
+    output is stable under shuffled input like every serializer in
+    the family."""
+    import pathlib
+    import random
+    from pyontutils_spark.kernel.nifttl import serialize_html
+    ns = {"ex": "http://ex.org/",
+          "owl": "http://www.w3.org/2002/07/owl#"}
+    rows = [
+        ("http://ex.org/a",
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://www.w3.org/2002/07/owl#Class", False, None, None),
+        ("http://ex.org/a", "http://www.w3.org/2000/01/rdf-schema#label",
+         "Alpha", True, None, None),
+        ("http://ex.org/a",
+         "http://www.w3.org/2000/01/rdf-schema#subClassOf",
+         "http://ex.org/b", False, None, None),
+        ("http://ex.org/a", "http://ex.org/count", "5", True,
+         "http://www.w3.org/2001/XMLSchema#integer", None),
+        ("http://ex.org/a", "http://ex.org/note", "tok", True,
+         "http://www.w3.org/2001/XMLSchema#token", None),
+        ("http://ex.org/a", "http://ex.org/other", "x", True,
+         "http://other.org/dt", None),
+        ("http://nope.example/raw1", "http://ex.org/p",
+         "hallo", True, None, "de"),
+    ]
+    golden = (pathlib.Path(__file__).parent / "golden"
+              / "html_small.golden.html").read_text(encoding="utf-8")
+    out = serialize_html(rows, ns, labels={"http://ex.org/b": "Beta ext"})
+    assert out == golden
+    r2 = list(rows)
+    random.Random(11).shuffle(r2)
+    assert serialize_html(r2, ns,
+                          labels={"http://ex.org/b": "Beta ext"}) == golden
+
+
 def test_scottl_supers_before_subs():
     """scottl: a superclass/superproperty/imported ontology statement
     appears before any of its subs within a section; cycles don't

@@ -90,18 +90,23 @@ def test_turtle_html_variant(spark, tdf):
     html = write_turtle_html_string(
         tdf, labels={"http://e/b": "external b label"})
     assert "<br>\n" in html and " " in html
-    # full IRI linked in a new tab, labelled from the labels kwarg
-    assert ('<a href="http://e/b" target="_blank" '
-            'title="external b label">http://e/b</a>') in html
+    # full IRI linked in a new tab, labelled from the labels kwarg —
+    # htmlfn.atag with a title grows the tooltip-div wrapper, and the
+    # anchor text keeps the escaped <...> brackets (reference label())
+    assert ('<div class="tip"><a href="http://e/b" target="_blank" '
+            'title="external b label">&lt;http://e/b&gt;</a>'
+            '<div class="cont"> <div class="tooltip">external b label'
+            '</div></div></div>') in html
     # qname (owl:Class) linked to its expansion
     assert ('<a href="http://www.w3.org/2002/07/owl#Class" '
             'target="_blank">owl:Class</a>') in html
-    # prefix block stays plain (no atag), like startDocument
+    # prefix block stays plain (no atag) with &lt;-escaped IRIs
     for line in html.split("<br>\n"):
         if line.startswith("@prefix"):
-            assert "<a " not in line
-    # literal text is never linked
-    assert "&quot;a label&quot;" in html or "&quot;" in html
+            assert "<a " not in line and "&lt;" in line
+    # literal text never linked, and NEVER escaped (the reference
+    # writes literal content raw)
+    assert '"thing b"' in html and "&quot;" not in html
 
 
 def test_turtle_html_escaped_quote_literal_guard(spark):
@@ -128,8 +133,9 @@ def test_turtle_html_escaped_quote_literal_guard(spark):
     # the real owl:Class object IS linkified
     assert ('<a href="http://www.w3.org/2002/07/owl#Class" '
             'target="_blank">owl:Class</a>') in html
-    # the literal's escaped quotes survive verbatim
-    assert "\\&quot;owl:Thing\\&quot;" in html
+    # the literal's escaped quotes survive verbatim (raw, unescaped —
+    # label-time linkification never touches literal content)
+    assert '\\"owl:Thing\\"' in html
 
 
 def test_read_obo_emits_header_triples(spark, tmp_path):
