@@ -310,10 +310,20 @@ def simhash_candidate_pairs(sig: DataFrame, bits: int = 32,
     stay bounded by the per-band value distribution rather than one
     fixed 256-way split — the within-block self-join is the only
     quadratic term and it is per-bucket, exactly like MinHash-LSH."""
+    banded = _simhash_banded(sig, bits, n_bands)
+    a = banded.select("band", "blk", F.col("id").alias("id_a"))
+    b = banded.select("band", "blk", F.col("id").alias("id_b"))
+    return (a.join(b, ["band", "blk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def _simhash_banded(sig: DataFrame, bits: int, n_bands: int) -> DataFrame:
+    """(id, band, blk) rows: one row per disjoint signature band."""
     assert bits % n_bands == 0
     bw = bits // n_bands
     mask = (1 << bw) - 1
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
@@ -321,11 +331,28 @@ def simhash_candidate_pairs(sig: DataFrame, bits: int = 32,
                      .alias("blk"))
             for i in range(n_bands)])).alias("bb")) \
         .select("id", "bb.band", "bb.blk")
-    a = banded.select("band", "blk", F.col("id").alias("id_a"))
-    b = banded.select("band", "blk", F.col("id").alias("id_b"))
-    return (a.join(b, ["band", "blk"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+
+
+def simhash_star_edges(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", bits: int = 32,
+                       n_bands: int = 4) -> DataFrame:
+    """Candidate edges for SimHash near-dup CLUSTERING at corpus scale:
+    one STAR per (band, block) — every member connects to the block's
+    min id, O(k) edges per block instead of ``simhash_candidate_pairs``'
+    O(k²), spanning exactly the same connected components (the
+    ``lsh_bucket_star_edges`` shape, same hub-safe agg+join block min —
+    no block's member set is ever materialized in one row).  Feed to
+    ``components.connected_components_ids``; the same verify-then-
+    cluster vs cluster-then-verify recall/cost tradeoff documented on
+    the MinHash star applies."""
+    sig = simhash_df(docs.select(id_col, text_col), id_col, text_col,
+                     bits).withColumnRenamed(id_col, "id")
+    banded = _simhash_banded(sig, bits, n_bands)
+    mins = banded.groupBy("band", "blk").agg(F.min("id").alias("u"))
+    return (banded.join(mins, ["band", "blk"])
+            .select("u", F.col("id").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
 
 
 def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",

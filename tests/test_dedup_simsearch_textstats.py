@@ -390,6 +390,28 @@ def test_simhash_band_recall_planted(spark):
         assert (2 * i, 2 * i + 1) in cand, f"missed pair {i} mask={m:08x}"
 
 
+def test_simhash_star_edges_component_equivalence(spark, docs):
+    """The O(k)-per-block star edges must span exactly the same
+    connected components as the O(k²) pairwise candidates — the
+    clustering path can then scale where all-pairs cannot (same
+    guarantee the MinHash lsh_bucket_star_edges test pins)."""
+    from pyontutils_spark.operators.components import (
+        connected_components_ids)
+    from pyontutils_spark.operators.dedup import (
+        simhash_candidate_pairs, simhash_df, simhash_star_edges)
+    d = docs.limit(80).select("doc_id", "text")
+    sig = simhash_df(d).withColumnRenamed("doc_id", "id")
+    pairs = simhash_candidate_pairs(sig) \
+        .selectExpr("id_a as u", "id_b as v")
+    stars = simhash_star_edges(d)
+
+    def comps(e):
+        return {(r.node, r.component)
+                for r in connected_components_ids(e).collect()}
+
+    assert comps(pairs) == comps(stars)
+
+
 def test_simhash_blocking_ratio_small_on_distinct_corpus(spark):
     """Band blocking must not collapse on a distinct corpus: with 4x256
     blocks over random-ish signatures the candidate set stays ≪
