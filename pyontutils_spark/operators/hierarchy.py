@@ -69,6 +69,50 @@ def transitive_closure(edges: DataFrame, max_depth: int = 30,
                           F.col("node").alias("ancestor"), "depth")
 
 
+def reachability_closure(edges: DataFrame, max_rounds: int = 20,
+                         child="child", parent="parent") -> DataFrame:
+    """(node, ancestor) reachability WITHOUT per-path depth — path
+    doubling: each round composes the closure with itself, so covered
+    path length SQUARES per round (log2(diameter) shuffle rounds vs
+    ``transitive_closure``'s diameter rounds).  At cluster scale the
+    iterated-join stage count is the dominant cost for deep
+    hierarchies, so this is the bulk-reachability path; use
+    ``transitive_closure`` when the depth column matters (khop,
+    subtree sizes).  Cycle-safe: the anti-join frontier empties once
+    no new pair appears (reflexive pairs are excluded).
+
+    Constraint propagation is disabled around the iteration: Spark
+    4.1's Union constraint rewrite loses track of self-join attribute
+    ids (`key not found: a#N` at localCheckpoint — the same engine bug
+    the CC operator dodges with explode-built edges); the conf is
+    restored before returning, and the returned plan is a checkpointed
+    LogicalRDD so no caller ever re-derives the broken constraints."""
+    spark = edges.sparkSession
+    ckey = "spark.sql.constraintPropagation.enabled"
+    old = spark.conf.get(ckey, "true")
+    spark.conf.set(ckey, "false")
+    try:
+        c = (edges.select(F.col(child).alias("a"),
+                          F.col(parent).alias("b"))
+             .filter(F.col(child) != F.col(parent))
+             .distinct().localCheckpoint(eager=True))
+        for _ in range(max_rounds):
+            step = (c.alias("x")
+                    .join(c.alias("y"), F.col("x.b") == F.col("y.a"))
+                    .select(F.col("x.a").alias("a"),
+                            F.col("y.b").alias("b"))
+                    .filter(F.col("a") != F.col("b"))
+                    .distinct())
+            new = (step.join(c, ["a", "b"], "left_anti")
+                   .localCheckpoint(eager=True))
+            if new.isEmpty():
+                break
+            c = c.unionByName(new).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(ckey, old)
+    return c.select(F.col("a").alias("node"), F.col("b").alias("ancestor"))
+
+
 def detect_cycles(edges: DataFrame, max_depth: int = 30,
                   child="child", parent="parent") -> DataFrame:
     """Nodes on a cycle: they reach themselves in the closure

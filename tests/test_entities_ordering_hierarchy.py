@@ -128,6 +128,37 @@ def test_transitive_closure(spark, edges):
     assert ("a", "c1") not in tc
 
 
+def test_reachability_doubling_equals_bfs_closure(spark):
+    """Path-doubling reachability must equal the BFS closure's
+    (node, ancestor) set on an acyclic graph — log2(diameter) rounds
+    instead of diameter rounds (the bulk-reachability scale path);
+    and on a deep chain it must converge well inside the round
+    budget."""
+    import random
+
+    from pyontutils_spark.operators.hierarchy import reachability_closure
+    rnd = random.Random(13)
+    # random DAG: each node gets 1-2 parents among lower ids
+    dag = []
+    for i in range(2, 120):
+        for p in rnd.sample(range(1, i), min(rnd.randint(1, 2), i - 1)):
+            dag.append((f"n{i}", f"n{p}"))
+    df = spark.createDataFrame(dag, "child string, parent string")
+    bfs = {(r.node, r.ancestor)
+           for r in transitive_closure(df, max_depth=50).collect()}
+    dbl = {(r.node, r.ancestor)
+           for r in reachability_closure(df).collect()}
+    assert dbl == bfs
+    # 200-deep chain: 20 BFS-equivalent rounds of doubling cover 2^20
+    chain = spark.createDataFrame(
+        [(f"c{i}", f"c{i+1}") for i in range(200)],
+        "child string, parent string")
+    out = reachability_closure(chain)
+    assert out.count() == 200 * 201 // 2
+    assert {(r.node, r.ancestor) for r in out.collect()} >= {
+        ("c0", "c200"), ("c0", "c1"), ("c199", "c200")}
+
+
 def test_detect_cycles(spark, edges):
     cyc = {r.node for r in detect_cycles(edges, max_depth=10).collect()}
     assert cyc == {"x1", "x2", "x3"}
