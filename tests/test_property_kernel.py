@@ -154,3 +154,84 @@ def test_nifttl_deterministic_and_fixpoint_property():
         assert serialize_nifttl(rows2, p2) == out
 
     _prop()
+
+
+# ---------------------------------------------------------------------------
+# N-Quads line grammar (the JVM scan regex, exercised here via Python re —
+# the same pattern string; Java and Python agree on every construct used)
+# ---------------------------------------------------------------------------
+
+_BN_LABEL = st.from_regex(r"[A-Za-z][A-Za-z0-9._-]{0,10}[A-Za-z0-9]",
+                          fullmatch=True)
+_IRI_ST = st.from_regex(r"http://[a-z]{1,8}\.example/[A-Za-z0-9_#/-]{0,12}",
+                        fullmatch=True)
+_NODE_ST = st.one_of(_IRI_ST, _BN_LABEL.map(lambda s: "_:" + s))
+_LIT_ST = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+    max_size=24)
+
+
+def _nq_term(node: str) -> str:
+    return node if node.startswith("_:") else f"<{node}>"
+
+
+def _nq_escape(lex: str) -> str:
+    return (lex.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n").replace("\r", "\\r")
+            .replace("\t", "\\t"))
+
+
+@settings(max_examples=150, deadline=None)
+@given(subj=_NODE_ST, pred=_IRI_ST,
+       obj=st.one_of(_NODE_ST, _LIT_ST),
+       obj_is_node=st.booleans(),
+       lang=st.one_of(st.none(),
+                      st.from_regex(r"[a-z]{2}(-[A-Za-z0-9]{1,4})?",
+                                    fullmatch=True)),
+       graph=st.one_of(st.none(), _NODE_ST))
+def test_nq_regex_parses_generated_lines(subj, pred, obj, obj_is_node,
+                                         lang, graph):
+    """Round-trip property for the N-Quads scan grammar: any line built
+    from valid terms (IRIs, _: bnodes in subj/obj/graph position,
+    escaped literals, lang tags) must match _NQ_REGEX with the right
+    capture groups — the fuzzing counterpart of the fixture tests for
+    the bnode extension."""
+    import re
+
+    from pyontutils_spark.sources.rdf import (
+        _G_GRAPH_BN, _G_GRAPH_IRI, _G_LANG, _G_LIT, _G_OBJ_BN,
+        _G_OBJ_IRI, _G_PRED, _G_SUBJ_BN, _G_SUBJ_IRI, _NQ_REGEX)
+    if obj_is_node:
+        obj_txt = _nq_term(obj) if (obj.startswith("_:")
+                                    or obj.startswith("http")) else None
+        if obj_txt is None:
+            return  # literal drawn for a node slot — skip
+        expect_lit = None
+    else:
+        if obj.startswith("_:") or obj.startswith("http"):
+            return
+        obj_txt = '"%s"' % _nq_escape(obj)
+        if lang:
+            obj_txt += "@" + lang
+        expect_lit = _nq_escape(obj)
+    line = f"{_nq_term(subj)} <{pred}> {obj_txt}"
+    if graph is not None:
+        line += f" {_nq_term(graph)}"
+    line += " ."
+    m = re.match(_NQ_REGEX, line)
+    assert m, line
+    got_subj = m.group(_G_SUBJ_IRI) or m.group(_G_SUBJ_BN)
+    assert got_subj == subj
+    assert m.group(_G_PRED) == pred
+    if expect_lit is None:
+        got_obj = m.group(_G_OBJ_IRI) or m.group(_G_OBJ_BN)
+        assert got_obj == obj
+    else:
+        assert m.group(_G_LIT) == expect_lit
+        if lang:
+            assert m.group(_G_LANG) == lang
+    if graph is not None:
+        got_g = m.group(_G_GRAPH_IRI) or m.group(_G_GRAPH_BN)
+        assert got_g == graph
+    else:
+        assert not (m.group(_G_GRAPH_IRI) or m.group(_G_GRAPH_BN))
