@@ -199,8 +199,9 @@ def main() -> None:
         "hub_star_cc_1m": lambda: _force(canonical_mapping(
             hub.selectExpr("a", "b"))),
         # path-doubling reachability: same (node, ancestor) set as the
-        # BFS closure (equality tested) in log2(diameter) rounds —
-        # ~3x faster than transitive_closure_1m in clean host windows
+        # BFS closure (equality tested) in log2(diameter) rounds; par
+        # with transitive_closure_1m on this shallow tree, 3.0x faster
+        # at diameter 100 (BASELINE.md round 5)
         "reachability_1m_doubling": lambda: _force(
             reachability_closure(tr)),
     }
@@ -221,6 +222,7 @@ def main() -> None:
     extras["cc_runs_sec"] = raw_runs["sameas_components_1m"]
     extras["tc_runs_sec"] = raw_runs["transitive_closure_1m"]
     extras["hub_cc_runs_sec"] = raw_runs["hub_star_cc_1m"]
+    extras["reach_runs_sec"] = raw_runs["reachability_1m_doubling"]
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..kernel.curies import DEFAULT as DEFAULT_PREFIXES
 from ..kernel.obo import parse_obo, stanza_triples
-from ..kernel.rdfio import format_turtle, parse_ntriple
+from ..kernel.rdfio import format_turtle
 from ..operators import vocab
 from ..operators.ordering import canonical_order
 
