@@ -78,11 +78,11 @@ def reachability_closure(edges: DataFrame, max_rounds: int = 20,
     (local[32]; BASELINE.md round 5): on a SHALLOW hierarchy
     (4-ary tree, diameter ~10, 1M edges) the two are par (28 vs 31 s
     — doubling's composition re-derives each pair once per split
-    point, offsetting its round advantage); on a DEEP one (diameter
-    100, 200k edges, 10.1M pairs) doubling wins 3.0x (211 s vs
-    639 s) because the BFS variant both runs 100 rounds AND anti-joins
-    the whole growing closure every round.  Rule of thumb: prefer
-    this for diameter >> 10; use ``transitive_closure`` when the
+    point, offsetting its round advantage); at diameter 30 (600k
+    edges) doubling wins 1.36x (104 vs 142 s); at diameter 100 (200k
+    edges, 10.1M pairs) 3.0x (211 s vs 639 s) — the BFS variant both
+    runs diameter rounds AND anti-joins the whole growing closure
+    every round.  Rule of thumb: prefer this for diameter >~ 20; use ``transitive_closure`` when the
     depth column matters (khop, subtree sizes) or the hierarchy is
     shallow.  Cycle-safe: the anti-join frontier empties once
     no new pair appears (reflexive pairs are excluded).

@@ -334,3 +334,18 @@ def test_entity_pivot_explicit_predicates_runs_no_job(spark):
     assert "p1" in piv.columns  # plan built, nothing executed
     with _pytest.raises(Exception, match="job ran"):
         entity_pivot(bad)  # fallback path does collect -> executes
+
+
+def test_reachability_doubling_cycle_safe(spark):
+    """On a cycle the doubling iteration must terminate (anti-join
+    frontier empties) and emit every non-reflexive ordered pair of the
+    cycle's members."""
+    from pyontutils_spark.operators.hierarchy import reachability_closure
+    cyc = spark.createDataFrame(
+        [("x1", "x2"), ("x2", "x3"), ("x3", "x1"), ("y", "x1")],
+        "child string, parent string")
+    got = {(r.node, r.ancestor) for r in reachability_closure(cyc).collect()}
+    xs = {"x1", "x2", "x3"}
+    expect = {(a, b) for a in xs for b in xs if a != b} \
+        | {("y", x) for x in xs}
+    assert got == expect
