@@ -102,6 +102,7 @@ def reachability_closure(edges: DataFrame, max_rounds: int = 20,
                           F.col(parent).alias("b"))
              .filter(F.col(child) != F.col(parent))
              .distinct().localCheckpoint(eager=True))
+        converged = False
         for _ in range(max_rounds):
             step = (c.alias("x")
                     .join(c.alias("y"), F.col("x.b") == F.col("y.a"))
@@ -112,8 +113,18 @@ def reachability_closure(edges: DataFrame, max_rounds: int = 20,
             new = (step.join(c, ["a", "b"], "left_anti")
                    .localCheckpoint(eager=True))
             if new.isEmpty():
+                converged = True
                 break
             c = c.unionByName(new).localCheckpoint(eager=True)
+        if not converged:
+            # Mirror topo_layers' non-convergence policy: a silent
+            # partial closure is worse than a loud failure.  Doubling
+            # covers diameter 2^max_rounds, so hitting this means the
+            # caller passed a tiny max_rounds, not a deep graph.
+            raise ValueError(
+                f"reachability_closure did not converge within "
+                f"{max_rounds} doubling rounds (covers diameter "
+                f"~2^{max_rounds}); raise max_rounds")
     finally:
         spark.conf.set(ckey, old)
     return c.select(F.col("a").alias("node"), F.col("b").alias("ancestor"))

@@ -19,15 +19,31 @@ consumes.  Semantics kept:
 - the edge's ``pred`` field is the *caller's* edge spelling verbatim
   (curie or IRI), exactly like the reference.
 
-Divergences (deliberate, documented): the reference iterates rdflib
-set order and takes the FIRST label — both nondeterministic; this
-export sorts edges by natsort of (sub, obj) qnames and takes the
-MINIMUM label, so output is stable across partitionings and runs.
+Divergences (deliberate, documented):
+
+- the reference iterates rdflib set order and takes the FIRST label —
+  both nondeterministic; this export sorts edges by natsort of
+  (sub, obj) qnames and takes the MINIMUM label, so output is stable
+  across partitionings and runs.
+- restriction mode joins ALL ``rdfs:subClassOf`` subjects of a linker
+  bnode; the reference takes ``subjects[0]`` only (core.py:861) —
+  which subject that is depends on rdflib set order, so when a
+  restriction bnode is (illegally but parseably) shared by several
+  classes the reference keeps an arbitrary one and this export keeps
+  every edge.  For well-formed OWL (one subject per restriction
+  bnode) the two agree.
+- a linker with NEITHER ``owl:someValuesFrom`` NOR
+  ``owl:allValuesFrom`` is skipped here (the coalesce + notNull
+  filter); the reference raises ``IndexError`` on ``values[0]``
+  (core.py:858).  Malformed restrictions drop out of the export
+  instead of aborting the whole job — at corpus scale one bad
+  document must not kill the export; use the strict RDF read mode to
+  surface malformed input loudly.
 
 Spark shape: predicate filters + label/deprecated joins run
 distributed; the final collect is the presentation step — a
 neighborhood export is driver-sized by declaration (same boundary as
-the tree renderer, operators/tree.py).
+the tree renderer, operators/tree.py), enforced by ``max_rows``.
 """
 
 from __future__ import annotations
@@ -84,11 +100,18 @@ def _edge_pairs_restriction(triples: DataFrame,
 def make_scigraph_json(triples: DataFrame, edge: str,
                        label_edge: str | None = None,
                        direct: bool = False,
-                       prefixes=None) -> dict:
+                       prefixes=None,
+                       max_rows: int = 100_000) -> dict:
     """Export the ``edge`` neighborhood of a triple DataFrame as the
     SciGraph JSON graph shape (see module docstring; reference
     ``core.py:805-886``).  ``edge``/``label_edge`` accept a curie or a
-    full IRI; ``'isDefinedBy'`` expands like the reference (:812)."""
+    full IRI; ``'isDefinedBy'`` expands like the reference (:812).
+
+    The result is collected to the driver (it feeds the driver-side
+    tree renderer, like the reference's REST JSON).  ``max_rows``
+    bounds that collect: a corpus-scale neighborhood raises instead of
+    OOMing the driver — raise the limit explicitly if a bigger export
+    is genuinely wanted."""
     pm = prefixes if prefixes is not None else DEFAULT_PREFIXES
     if label_edge is None:
         label_iri = vocab.RDFS_LABEL
@@ -117,7 +140,12 @@ def make_scigraph_json(triples: DataFrame, edge: str,
                       .withColumn("odep", F.lit(True)), "obj", "left")
                 .distinct())
 
-    rows = enriched.collect()
+    rows = enriched.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"make_scigraph_json: neighborhood exceeds max_rows="
+            f"{max_rows} edges; this export is driver-sized by design "
+            f"— filter the triples first or raise max_rows explicitly")
     qn = pm.qname
     rows.sort(key=lambda r: (natsort_key(qn(r.sub)), natsort_key(qn(r.obj))))
 

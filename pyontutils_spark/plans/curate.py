@@ -48,9 +48,16 @@ class CurationResult:
 
 def _keep_url_representatives(docs: DataFrame, id_col: str,
                               url_col: str) -> DataFrame:
+    # A null url (or a url the normalizer cannot parse -> null) must NOT
+    # collapse with every other null into one group — that would keep a
+    # single document for the whole null stratum.  Group such rows on a
+    # per-id sentinel key instead, so they all survive this stage and
+    # fall through to content-based dedup.
+    cu = normalize_url_col(F.col(url_col))
+    key = F.coalesce(cu, F.concat(F.lit("\x00nourl\x00"),
+                                  F.col(id_col).cast("string")))
     reps = (docs
-            .select(normalize_url_col(F.col(url_col)).alias("cu"),
-                    F.col(id_col))
+            .select(key.alias("cu"), F.col(id_col))
             .groupBy("cu").agg(F.min(id_col).alias(id_col))
             .select(id_col))
     return docs.join(reps, id_col, "left_semi")

@@ -80,3 +80,19 @@ def test_curation_no_url_column(spark, corpus):
     res = curate_corpus(corpus.drop("url"), url_col=None, report=True)
     assert "url_dedup" not in res.counts
     assert res.counts["exact_dedup"] <= res.counts["input"]
+
+
+def test_curation_null_urls_not_collapsed(spark):
+    # Docs with a NULL url (partial URL coverage) must each survive
+    # the url-dedup stage — a null canonical url is NOT one group.
+    rows = [(i, None, _doc(i), "en") for i in range(10)]
+    rows.append((50, "http://site.example/a?utm_source=x", _doc(50), "en"))
+    rows.append((51, "http://site.example/a", _doc(50), "en"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, text string, lang string")
+    res = curate_corpus(docs)
+    # url stage: only the true url-variant pair collapses (12 -> 11)
+    assert res.counts["url_dedup"] == 11
+    ids = {r.doc_id for r in res.docs.select("doc_id").collect()}
+    assert set(range(10)).issubset(ids)
+    assert 50 in ids and 51 not in ids  # min-id variant kept

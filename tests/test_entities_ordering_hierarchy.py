@@ -159,6 +159,22 @@ def test_reachability_doubling_equals_bfs_closure(spark):
         ("c0", "c200"), ("c0", "c1"), ("c199", "c200")}
 
 
+def test_reachability_doubling_raises_on_round_exhaustion(spark):
+    """A max_rounds too small for the diameter must raise, never
+    silently return a partial closure (same policy as topo_layers)."""
+    import pytest
+
+    from pyontutils_spark.operators.hierarchy import reachability_closure
+    chain = spark.createDataFrame(
+        [(f"c{i}", f"c{i+1}") for i in range(40)],
+        "child string, parent string")
+    with pytest.raises(ValueError, match="did not converge"):
+        reachability_closure(chain, max_rounds=2)  # covers diameter 4
+    # and the conf is restored even on the raise path
+    assert spark.conf.get(
+        "spark.sql.constraintPropagation.enabled") in ("true", "True")
+
+
 def test_detect_cycles(spark, edges):
     cyc = {r.node for r in detect_cycles(edges, max_depth=10).collect()}
     assert cyc == {"x1", "x2", "x3"}

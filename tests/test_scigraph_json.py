@@ -87,6 +87,18 @@ def test_deterministic_under_repartition(spark):
     assert a == b
 
 
+def test_max_rows_guard(spark):
+    """Corpus-scale neighborhoods must raise instead of collecting an
+    unbounded edge set to the driver."""
+    import pytest
+    tdf = _restriction_fixture(spark)
+    with pytest.raises(ValueError, match="max_rows"):
+        make_scigraph_json(tdf, PART_OF, max_rows=1)
+    # a sufficient limit still works
+    out = make_scigraph_json(tdf, PART_OF, max_rows=2)
+    assert len(out["edges"]) == 2
+
+
 def test_feeds_tree_renderer(spark):
     """The exported edges drive render_tree exactly like the reference's
     tree-checking path consumes make_scigraph_json output."""
