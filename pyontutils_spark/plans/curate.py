@@ -44,6 +44,10 @@ __all__ = ["curate_corpus", "CurationResult"]
 class CurationResult:
     docs: DataFrame
     counts: dict = field(default_factory=dict)
+    # every stage boundary as a (name, surviving-docs DataFrame) pair —
+    # lazy plans (no extra jobs); lets callers audit/oracle the funnel
+    # per stage instead of only its final output
+    stages: list = field(default_factory=list)
 
 
 def _keep_url_representatives(docs: DataFrame, id_col: str,
@@ -104,8 +108,10 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     (id, content), so re-running over a grown corpus never flips an
     old decision except through genuinely new duplicate clusters."""
     counts: dict = {}
+    stages: list = []
 
     def note(name: str, df: DataFrame) -> DataFrame:
+        stages.append((name, df))
         if report:
             counts[name] = df.count()
         return df
@@ -128,4 +134,4 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
             cur, id_col, sample_num, den=sample_den, salt=sample_salt,
             rates=sample_rates,
             stratum_col=lang_col if sample_rates else None))
-    return CurationResult(docs=cur, counts=counts)
+    return CurationResult(docs=cur, counts=counts, stages=stages)

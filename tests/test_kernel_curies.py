@@ -101,3 +101,40 @@ def test_injectivity_enforced():
         check_injective({"a": "http://same/", "b": "http://same/"})
     with pytest.raises(InjectivityError):
         PrefixMap({"a": "http://same/", "b": "http://same/"})
+
+
+def test_roundtrip_every_vendored_prefix():
+    """expand -> qname must round-trip for EVERY prefix in the full
+    vendored table (curie_map.yaml + _loadPrefixes extras), with both
+    a non-empty suffix and the empty suffix (readable-predicate
+    curies).  The suffix 'q0' is chosen so no expansion extends into a
+    longer sibling namespace (e.g. NLX:q0 must not become NLXQUAL)."""
+    from pyontutils_spark.kernel.curies import DEFAULT_PREFIXES
+    assert len(DEFAULT_PREFIXES) >= 153
+    for p in DEFAULT_PREFIXES:
+        for suffix in ("q0", ""):
+            curie = f"{p}:{suffix}"
+            iri = DEFAULT.expand(curie)
+            assert iri == DEFAULT_PREFIXES[p] + suffix
+            assert DEFAULT.qname(iri) == curie, (curie, iri)
+
+
+def test_reference_alias_shadowing():
+    """An id-namespace spelling whose expansion lands exactly on a
+    readable-predicate alias qnames back as the ALIAS (longest
+    namespace wins) — the reference's namespaces.py aliasing."""
+    iri = DEFAULT.expand("RO:0000087")
+    assert iri == "http://purl.obolibrary.org/obo/RO_0000087"
+    assert DEFAULT.qname(iri) == "hasRole:"
+    # but a plain RO id with no alias keeps the RO spelling
+    assert DEFAULT.qname("http://purl.obolibrary.org/obo/RO_0009999") \
+        == "RO:0009999"
+
+
+def test_nested_chebi_namespaces():
+    """chebi1 (...chebi#2) nests inside chebi2 (...chebi#): longest
+    match wins and the separator guard still applies."""
+    assert DEFAULT.qname("http://purl.obolibrary.org/obo/chebi#23") \
+        == "chebi1:3"
+    assert DEFAULT.qname("http://purl.obolibrary.org/obo/chebi#4") \
+        == "chebi2:4"
