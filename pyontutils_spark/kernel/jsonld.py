@@ -168,6 +168,44 @@ class _Parser:
             raise JsonLdError(f"jsonld: bad value {v!r}")
 
 
+def serialize_jsonld(rows, namespaces: dict | None = None) -> str:
+    """Engine triple rows -> deterministic expanded-form JSON-LD text.
+
+    Write-side complement of :func:`parse_jsonld` (reference
+    ``graph.serialize(format='json-ld')`` coverage,
+    ``ttlser/ttlfmt.py:78-100``).  Exact round-trip:
+    ``parse_jsonld(serialize_jsonld(rows))`` returns the same row SET.
+    Expanded form by design — no ``@context`` and full-IRI predicate
+    keys (a compacting context saves bytes but makes the output depend
+    on the prefix table; format interchange wants stability).  Every
+    literal is a ``@value`` object with its lexical form as a JSON
+    string (native JSON numbers would re-type xsd:integer vs
+    xsd:double on re-parse); ``rdf:type`` goes through the plain
+    predicate path, which the parser expands back to the same IRI.
+    ``namespaces`` is accepted for signature parity with the other
+    writers and ignored.  Lexical ``_:label`` nodes are emitted
+    verbatim (valid JSON-LD); a re-parse re-labels them, same caveat
+    as the RDF/XML writer."""
+    by_subj: dict[str, dict] = {}
+    for r in sorted(set(tuple(r) for r in rows),
+                    key=lambda r: (r[0], r[1], str(r[2]),
+                                   r[4] or "", r[5] or "")):
+        subj, pred, obj, lit, dt, lang = r
+        node = by_subj.setdefault(subj, {"@id": subj})
+        vals = node.setdefault(pred, [])
+        if not lit:
+            vals.append({"@id": obj})
+        else:
+            v: dict = {"@value": obj}
+            if dt:
+                v["@type"] = dt
+            if lang:
+                v["@language"] = lang
+            vals.append(v)
+    doc = {"@graph": [by_subj[s] for s in sorted(by_subj)]}
+    return json.dumps(doc, indent=2, sort_keys=True) + "\n"
+
+
 def parse_jsonld(text: str, bnode_prefix: str = "") -> list[tuple]:
     """JSON-LD document text -> list of engine triple rows."""
     try:

@@ -165,6 +165,115 @@ class _Parser:
                    None if datatype else lang)
 
 
+_NCNAME_START = re.compile(r"[A-Za-z_À-￿]")
+_NCNAME_CHAR = re.compile(r"[A-Za-z0-9_.·À-￿-]")
+
+
+def _split_pred(iri: str) -> tuple[str, str]:
+    """Split a predicate IRI into (namespace, NCName local part) for an
+    XML element name — walk back from the end over NCName characters,
+    then forward to a valid NCName START char (same walk-back idea as
+    the qname split in kernel/nifttl).  Raises when no non-empty local
+    part exists (e.g. an IRI ending in '/')."""
+    i = len(iri)
+    while i > 0 and _NCNAME_CHAR.match(iri[i - 1]):
+        i -= 1
+    while i < len(iri) and not _NCNAME_START.match(iri[i]):
+        i += 1
+    local = iri[i:]
+    if not local:
+        raise RdfXmlError(
+            f"rdfxml: predicate {iri!r} has no XML-serializable local "
+            "name (ends in a non-NCName character)")
+    return iri[:i], local
+
+
+def _xml_escape(s: str, attr: bool = False) -> str:
+    s = (s.replace("&", "&amp;").replace("<", "&lt;")
+         .replace(">", "&gt;"))
+    # \r is normalized away by XML parsers unless character-referenced
+    s = s.replace("\r", "&#13;")
+    if attr:
+        s = s.replace('"', "&quot;").replace("\n", "&#10;") \
+             .replace("\t", "&#9;")
+    return s
+
+
+def serialize_rdfxml(rows, namespaces: dict | None = None) -> str:
+    """Engine triple rows -> deterministic RDF/XML text.
+
+    Write-side complement of :func:`parse_rdfxml`, closing the format
+    gap vs the reference's ``graph.serialize(format='xml')`` path
+    (``ttlser/ttlfmt.py:78-100`` convert targets).  Exact round-trip:
+    ``parse_rdfxml(serialize_rdfxml(rows))`` returns the same row SET —
+    skolemized blank nodes are plain IRIs in this engine, so they pass
+    through ``rdf:about``/``rdf:resource`` untouched.  Lexical
+    ``_:label`` nodes (N-Triples reads) are emitted as ``rdf:nodeID``,
+    which any conforming parser (including ours) re-labels.
+
+    Shape: one ``rdf:Description`` per subject (sorted), explicit
+    ``rdf:type`` property elements (no typed node elements — keeps the
+    writer total over predicates), namespace declarations computed
+    from the predicate split; ``namespaces`` (prefix->ns) only
+    supplies PREFERRED prefix names, never filters."""
+    rows = sorted(set(tuple(r) for r in rows),
+                  key=lambda r: (r[0], r[1], str(r[2]),
+                                 r[4] or "", r[5] or ""))
+    ns_prefix: dict[str, str] = {RDF_NS: "rdf"}
+    preferred = {v: k for k, v in (namespaces or {}).items()}
+    splits: dict[str, tuple[str, str]] = {}
+    for r in rows:
+        if r[1] not in splits:
+            splits[r[1]] = _split_pred(r[1])
+    for ns, _ in sorted(splits.values()):
+        if ns in ns_prefix:
+            continue
+        want = preferred.get(ns)
+        if want and re.fullmatch(r"[A-Za-z_][\w.-]*", want) \
+                and want not in ns_prefix.values():
+            ns_prefix[ns] = want
+        else:
+            n = len(ns_prefix)
+            while f"n{n}" in ns_prefix.values():
+                n += 1
+            ns_prefix[ns] = f"n{n}"
+    decls = "".join(
+        f'\n         xmlns:{p}="{_xml_escape(ns, attr=True)}"'
+        for ns, p in sorted(ns_prefix.items(), key=lambda kv: kv[1]))
+    out = [f"<rdf:RDF{decls}>"]
+    by_subj: dict[str, list] = {}
+    for r in rows:
+        by_subj.setdefault(r[0], []).append(r)
+    for subj in sorted(by_subj):
+        if subj.startswith("_:"):
+            sattr = f'rdf:nodeID="{_xml_escape(subj[2:], attr=True)}"'
+        else:
+            sattr = f'rdf:about="{_xml_escape(subj, attr=True)}"'
+        out.append(f"  <rdf:Description {sattr}>")
+        for _, pred, obj, lit, dt, lang in by_subj[subj]:
+            ns, local = splits[pred]
+            tag = f"{ns_prefix[ns]}:{local}"
+            if not lit:
+                if obj.startswith("_:"):
+                    oattr = (f'rdf:nodeID='
+                             f'"{_xml_escape(obj[2:], attr=True)}"')
+                else:
+                    oattr = f'rdf:resource="{_xml_escape(obj, attr=True)}"'
+                out.append(f"    <{tag} {oattr}/>")
+            else:
+                attrs = ""
+                if lang:
+                    attrs += f' xml:lang="{_xml_escape(lang, attr=True)}"'
+                if dt:
+                    attrs += (f' rdf:datatype='
+                              f'"{_xml_escape(dt, attr=True)}"')
+                out.append(f"    <{tag}{attrs}>"
+                           f"{_xml_escape(obj)}</{tag}>")
+        out.append("  </rdf:Description>")
+    out.append("</rdf:RDF>\n")
+    return "\n".join(out)
+
+
 def parse_rdfxml(text: str, bnode_prefix: str = "") -> list[tuple]:
     """RDF/XML document text -> list of engine triple rows."""
     try:

@@ -59,7 +59,18 @@ def ttlfmt(spark: SparkSession, in_path: str, out_path: str | None = None,
             raise ValueError("nt output requires out_path")
         write_ntriples(triples, out_path)
         return out_path
-    text = write_turtle_string(triples, prefix_map or DEFAULT_PREFIXES)
+    if out_format in ("xml", "rdfxml", "rdf-xml", "pretty-xml"):
+        from ..sources.rdf import write_rdfxml_string
+        text = write_rdfxml_string(triples, prefix_map or DEFAULT_PREFIXES)
+    elif out_format in ("json-ld", "jsonld"):
+        from ..sources.rdf import write_jsonld_string
+        text = write_jsonld_string(triples)
+    elif out_format == "turtle":
+        text = write_turtle_string(triples, prefix_map or DEFAULT_PREFIXES)
+    else:
+        raise ValueError(
+            f"ttlfmt: unknown out_format {out_format!r} (accepted: "
+            "nifttl, turtle, nt/ntriples, xml/rdfxml, json-ld)")
     if out_path is not None:
         with open(out_path, "w") as f:
             f.write(text)

@@ -217,6 +217,32 @@ def write_turtle_string(triples: DataFrame, prefix_map=None) -> str:
           r.obj_lang) for r in rows), pm)
 
 
+def write_rdfxml_string(triples: DataFrame, prefix_map=None) -> str:
+    """Deterministic RDF/XML text for a small graph — write-side
+    complement of :func:`read_rdfxml`, closing the serialize-format
+    gap vs the reference's rdflib ``serialize(format='xml')``
+    (``ttlser/ttlfmt.py:78-100``).  Round-trip property:
+    ``read(write(g)) == g`` as a row set (skolemized bnodes are plain
+    IRIs).  Driver-sized by the same boundary as
+    :func:`write_turtle_string`."""
+    from ..kernel.rdfxml import serialize_rdfxml
+    pm = prefix_map or DEFAULT_PREFIXES
+    rows = [(r.subj, r.pred, r.obj, r.obj_is_literal, r.obj_datatype,
+             r.obj_lang) for r in triples.collect()]
+    return serialize_rdfxml(rows, pm.prefix_to_ns
+                            if hasattr(pm, "prefix_to_ns") else pm)
+
+
+def write_jsonld_string(triples: DataFrame) -> str:
+    """Deterministic expanded-form JSON-LD text for a small graph —
+    write-side complement of :func:`read_jsonld` (same format-gap
+    rationale and round-trip property as :func:`write_rdfxml_string`)."""
+    from ..kernel.jsonld import serialize_jsonld
+    rows = [(r.subj, r.pred, r.obj, r.obj_is_literal, r.obj_datatype,
+             r.obj_lang) for r in triples.collect()]
+    return serialize_jsonld(rows)
+
+
 def write_nifttl_string(triples: DataFrame,
                         namespaces: dict | None = None) -> str:
     """Reference-byte-compatible nifttl text for a small graph
