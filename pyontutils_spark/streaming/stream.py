@@ -105,6 +105,81 @@ def stream_first_seen(pages: DataFrame, text_col: str = "text",
         timeoutConf=GroupStateTimeout.NoTimeout)
 
 
+def stream_curate_head(spark: SparkSession, input_path: str,
+                       out_dir: str, checkpoint_dir: str, schema,
+                       id_col: str = "doc_id", url_col: str = "url",
+                       text_col: str = "text",
+                       max_files_per_trigger: int = 1):
+    """Incremental (streaming) head of the curation funnel: the
+    canonical-URL collapse + exact-content dedup stages of
+    ``plans.curate.curate_corpus``, run continuously over a document
+    stream.  Returns the StreamingQuery.
+
+    Semantics: first-seen wins across micro-batches; within a batch
+    the batch stages keep the min id per key (identical helpers to the
+    batch funnel, so one corpus streamed in id order yields EXACTLY
+    the batch funnel's exact_dedup-stage survivors — asserted in
+    tests).  Keep-decisions are pure functions of (id, content):
+    growing the corpus never flips an old decision, which is what
+    makes the incremental form correct.
+
+    State = the emitted output itself: each survivor row carries its
+    canonical-url key, content digest and batch id; each batch
+    anti-joins against the keys of STRICTLY EARLIER batches, so a
+    replayed batch (exactly-once via checkpoint + idempotent
+    ``batch=<id>`` overwrite) recomputes against the same prior state.
+    At scale this is the standard 'dedup against the served corpus'
+    shape — the anti-join is a hash join on (key) columns read from
+    the accumulated parquet, no driver state."""
+    from ..plans.curate import (_keep_exact_representatives,
+                                _keep_url_representatives)
+    from ..operators.filters import normalize_url_col
+
+    docs = (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(input_path))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = _keep_url_representatives(batch_df, id_col, url_col)
+        cur = _keep_exact_representatives(cur, id_col, text_col)
+        cu = normalize_url_col(F.col(url_col))
+        cur = (cur
+               .withColumn("url_key",
+                           F.coalesce(cu, F.concat(
+                               F.lit("\x00nourl\x00"),
+                               F.col(id_col).cast("string"))))
+               .withColumn("digest", F.md5(F.col(text_col)))
+               .withColumn("batch_id", F.lit(batch_id)))
+        try:
+            seen = (spark.read
+                    .option("recursiveFileLookup", "true")
+                    .parquet(out_dir)
+                    .filter(F.col("batch_id") < batch_id))
+        except Exception:  # first batch: no output yet
+            seen = None
+        if seen is not None:
+            cur = (cur.join(seen.select("url_key").distinct(),
+                            "url_key", "left_anti")
+                   .join(seen.select("digest").distinct(),
+                         "digest", "left_anti"))
+        (cur.write.mode("overwrite")
+         .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+
+    return (docs.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_stream_curated(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Accumulated survivors of :func:`stream_curate_head` (the
+    url_key/digest/batch_id state columns dropped)."""
+    return (spark.read.option("recursiveFileLookup", "true")
+            .parquet(out_dir)
+            .drop("url_key", "digest", "batch_id"))
+
+
 def mention_rate(spark: SparkSession, input_path: str,
                  lexicon: list[dict], window: str = "1 hour",
                  watermark: str = "2 hours") -> DataFrame:

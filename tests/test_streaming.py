@@ -113,3 +113,64 @@ def test_stream_first_seen_stateful_dedup(spark, tmp_path):
     n_batch_distinct = (pages_df_local(spark, PAGES[:30])
                         .select(SF.md5("text")).distinct().count())
     assert len(digests) == n_batch_distinct
+
+
+def test_stream_curate_head_equals_batch_funnel(spark, tmp_path):
+    """Streaming url-collapse + exact-dedup (stream_curate_head) over
+    an id-ordered stream must emit EXACTLY the batch funnel's
+    exact_dedup-stage survivors, across micro-batch boundaries and a
+    restart (exactly-once)."""
+    from pyontutils_spark.plans.curate import curate_corpus
+    from pyontutils_spark.streaming.stream import (
+        read_stream_curated, stream_curate_head)
+
+    def doc(i):
+        return " ".join(f"w{i}x{j}" for j in range(12))
+
+    schema = "doc_id long, url string, text string"
+    # file 0: base docs; file 1: url variant of 0, exact dup of 1 at a
+    # new url, null-url doc, fresh doc; file 2: dup of the null-url
+    # doc's text, another fresh doc
+    chunks = [
+        [(0, "http://s.example/p0", doc(0)),
+         (1, "http://s.example/p1", doc(1)),
+         (2, None, doc(2))],
+        [(10, "http://s.example/p0?utm_source=x", doc(0)),
+         (11, "http://mirror.example/m1", doc(1)),
+         (12, None, doc(12)),
+         (13, "http://s.example/p13", doc(13))],
+        [(20, "http://other.example/o", doc(2)),
+         (21, "http://s.example/p21", doc(21))],
+    ]
+    in_dir = tmp_path / "docs_stream"
+    in_dir.mkdir()
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(str(in_dir / f"{i:02d}"))
+    out_dir = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt_curate")
+
+    q = stream_curate_head(spark, str(in_dir) + "/*", out_dir, ckpt,
+                           schema)
+    q.awaitTermination(300)
+    got = {r.doc_id for r in read_stream_curated(spark, out_dir)
+           .select("doc_id").collect()}
+
+    batch = spark.createDataFrame(
+        [r for rows in chunks for r in rows], schema)
+    res = curate_corpus(batch, url_col="url", text_col="text",
+                        lang_col=None, report=False)
+    want = {r.doc_id for r in dict(res.stages)["exact_dedup"]
+            .select("doc_id").collect()}
+    assert got == want
+    # expected shape: 10 (url variant), 11 (exact dup), 20 (dup of
+    # null-url doc 2) are dropped; null-url docs 2 and 12 survive
+    assert got == {0, 1, 2, 12, 13, 21}
+
+    # restart with the same checkpoint: no new batches, output unchanged
+    q2 = stream_curate_head(spark, str(in_dir) + "/*", out_dir, ckpt,
+                            schema)
+    q2.awaitTermination(300)
+    again = {r.doc_id for r in read_stream_curated(spark, out_dir)
+             .select("doc_id").collect()}
+    assert again == got
