@@ -107,6 +107,31 @@ def main() -> None:
     extras["canonicalize_triples_per_sec"] = round(
         n_triples / timings["canonicalize_triples"], 1)
 
+    # --- curation funnel end-to-end (url collapse -> exact dedup ->
+    # LSH near-dup CC -> Gopher gate -> hash sample) on a 100k-doc
+    # synthetic corpus with a realistic dup mix (70% distinct /
+    # 10% exact / 10% near / 10% url-variant) -----------------------
+    from pyontutils_spark.plans.curate import curate_corpus
+    from pyontutils_spark.synth.spark_gen import documents_df
+
+    n_docs_cur = 100_000
+    docs_path = os.path.join(CACHE_DIR, f"docs_{n_docs_cur}.parquet")
+    if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
+        documents_df(spark, n_docs_cur).write.mode("overwrite") \
+            .parquet(docs_path)
+    cur_docs = spark.read.parquet(docs_path)
+    _force(curate_corpus(cur_docs.limit(5_000), report=False).docs)  # warm
+    cur_runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _force(curate_corpus(cur_docs, sample_num=50,
+                             report=False).docs)
+        cur_runs.append(round(time.perf_counter() - t0, 3))
+    timings["curate_funnel_100k"] = min(cur_runs)
+    extras["curate_docs_per_sec"] = round(
+        n_docs_cur / timings["curate_funnel_100k"], 1)
+    extras["curate_runs_sec"] = cur_runs
+
     # --- warmup: exercise codegen/broadcast/pandas-udf machinery once so
     # per-query timings measure the operator, not JVM warmup ------------
     warm = spark.range(1000).select(

@@ -89,14 +89,21 @@ def documents_df(spark: SparkSession, n: int,
             w = f"{lang}w{r.randrange(6000)}"
             toks = [w] * r.randrange(5, 120)
         else:
-            # 65% per-doc salted vocab + 35% shared zipf stream: base
-            # docs stay pairwise BELOW the LSH threshold (a shared
-            # template would make the whole corpus one near-dup
-            # cluster) while still sharing a realistic head
+            # 65% per-doc vocab + 35% shared zipf stream: base docs
+            # stay pairwise BELOW the LSH threshold (a shared template
+            # would make the whole corpus one near-dup cluster) while
+            # still sharing a realistic head.  Per-doc words are
+            # 4-8-char letter strings from the doc's own seeded stream
+            # (cross-doc collisions ~26^-5): token length stays inside
+            # the Gopher mean-word-length bounds at ANY corpus size —
+            # embedding the raw base id made tokens grow with doc id
+            # and tripped the quality gate for high ids (r6 soak).
             k = r.randrange(80, 220)
+            vocab = ["".join(r.choices("abcdefghijklmnopqrstuvwxyz",
+                                       k=r.randrange(4, 9)))
+                     for _ in range(60)]
             toks = [f"{lang}w{int(r.paretovariate(1.1)) % 6000}"
-                    if r.random() < 0.35
-                    else f"{lang}d{base}t{r.randrange(400)}"
+                    if r.random() < 0.35 else r.choice(vocab)
                     for _ in range(k)]
         return " ".join(toks), lang
 

@@ -88,13 +88,13 @@ def main() -> None:
 
     # ---- corpora (cached; generation excluded from timed runs) -----
     pages_path = os.path.join(CACHE, f"pages_{N_PAGES}.parquet")
-    if not os.path.exists(pages_path):
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
         t0 = time.perf_counter()
         pages_df(spark, N_PAGES).write.mode("overwrite").parquet(pages_path)
         out["pages_gen_sec"] = round(time.perf_counter() - t0, 1)
         print(f"# pages generated in {out['pages_gen_sec']}s", flush=True)
     docs_path = os.path.join(CACHE, f"docs_{N_DOCS}.parquet")
-    if not os.path.exists(docs_path):
+    if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
         t0 = time.perf_counter()
         documents_df(spark, N_DOCS).write.mode("overwrite").parquet(docs_path)
         out["docs_gen_sec"] = round(time.perf_counter() - t0, 1)
@@ -125,15 +125,23 @@ def main() -> None:
     cw = curate_corpus(docs.limit(10_000), report=False)
     cw.docs.count()
 
+    # timed: ONE pass (report=True would re-execute each stage's lazy
+    # prefix per count — O(stages^2) recomputation, not funnel cost)
     before = _stage_totals()
     t0 = time.perf_counter()
-    cres = curate_corpus(docs, sample_num=50, report=True)
+    cres = curate_corpus(docs, sample_num=50, report=False)
+    n_out = cres.docs.count()
     out["curate_sec"] = round(time.perf_counter() - t0, 1)
     out["curate_metrics"] = _delta(_stage_totals(), before)
-    out["curate_counts"] = cres.counts
     out["curate_docs_per_sec"] = round(N_DOCS / out["curate_sec"], 1)
-    print(f"# curate_corpus {out['curate_sec']}s "
-          f"{cres.counts}", flush=True)
+    out["curate_survivors"] = n_out
+    print(f"# curate_corpus {out['curate_sec']}s {n_out} out",
+          flush=True)
+
+    # untimed: per-stage counts for the funnel-shape record
+    out["curate_counts"] = {
+        name: df.count() for name, df in cres.stages}
+    print(f"# curate stage counts {out['curate_counts']}", flush=True)
 
     print(json.dumps(out))
     with open(os.path.join(CACHE, "SOAK_r06.json"), "w") as f:
