@@ -113,39 +113,65 @@ def gopher_quality_flags(docs: DataFrame, id_col: str = "doc_id",
 
     Returns (id, n_tokens, mean_word_len_e4, top_bigram_share_e4,
     keep) with ratios as integer 1e4-scaled values (cross-engine
-    hashable).  Plan shape: one explode + two hash aggregations (the
-    bigram count and its per-doc max) then a broadcast-size join back
-    — scale-safe, no window over the corpus."""
-    toks = docs.select(F.col(id_col).alias("id"),
-                       tokens_col(F.col(text_col)).alias("ts"))
-    base = toks.select(
-        "id", F.size("ts").alias("n_tokens"),
-        F.round(F.aggregate("ts", F.lit(0).cast("long"),
-                            lambda a, t: a + F.length(t))
-                / F.greatest(F.size("ts"), F.lit(1)) * 10_000)
-        .cast("long").alias("mean_word_len_e4"))
-    # total generator: docs with <2 tokens yield an empty index array
-    # (explode drops them) instead of relying on the n>=2 filter being
-    # pushed below the Generate — element_at(ts, i+1) would throw
-    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode if a
-    # materialization barrier ever blocked that pushdown.
-    bigrams = toks.select(
-        "id",
-        F.explode(F.transform(
-            F.when(F.size("ts") >= 2,
-                   F.sequence(F.lit(1), F.size("ts") - 1))
-            .otherwise(F.array().cast("array<int>")),
-            _bigram_at("ts"))).alias("bg"),
-        F.size("ts").alias("n"))
-    top = (bigrams.filter(F.col("n") >= 2)
-           .groupBy("id", "n", "bg").agg(F.count("*").alias("c"))
-           .groupBy("id", "n").agg(F.max("c").alias("maxc"))
-           .select("id", F.round(F.col("maxc") / (F.col("n") - 1)
-                                 * 10_000).cast("long")
+    hashable).  Plan shape: ONE narrow projection, zero shuffles —
+    every statistic is a function of the doc's own token array, so the
+    top-bigram count is computed per row (array_sort the bigram array,
+    then a single higher-order ``aggregate`` pass tracking the longest
+    equal-run) instead of exploding ~150 rows/doc into a corpus-wide
+    (id, bigram) groupBy.  The explode shape shuffled ~100 bytes/token
+    twice and spilled at the 2M-doc soak; the per-row pass measured
+    4-12x faster there (scripts/_bigram_ab.py) and keeps the quality
+    gate embarrassingly parallel at any corpus size.
+
+    The token array is LET-BOUND once per row via
+    ``transform(array(tokens), ts -> stats)[1]``: every inner
+    reference to ``ts`` is then a lambda-variable lookup.  Referencing
+    a tokenizer ALIAS by column name is not safe here — Catalyst can
+    inline the alias into each ``element_at`` inside the bigram
+    lambda, re-running the full-text regex split once per ELEMENT
+    (O(n_tokens^2) per doc; observed as a 32-core multi-minute stall
+    in the 2M-doc funnel soak)."""
+
+    def per_row(ts):
+        n = F.size(ts)
+        # total: docs with <2 tokens get an empty bigram array
+        # (element_at(ts, i+1) would throw under ANSI if evaluated)
+        bg_sorted = F.when(
+            n >= 2,
+            F.array_sort(F.transform(F.sequence(F.lit(1), n - 1),
+                                     _bigram_at_var(ts)))
+        ).otherwise(F.array().cast("array<string>"))
+        run_zero = F.struct(F.lit("").alias("prev"),
+                            F.lit(0).cast("long").alias("run"),
+                            F.lit(0).cast("long").alias("best"))
+
+        def run_step(acc, x):
+            run = (F.when(x == acc["prev"], acc["run"] + 1)
+                   .otherwise(F.lit(1).cast("long")))
+            return F.struct(x.alias("prev"), run.alias("run"),
+                            F.greatest(acc["best"], run).alias("best"))
+
+        maxc = F.aggregate(bg_sorted, run_zero, run_step,
+                           lambda acc: acc["best"])
+        return F.struct(
+            n.alias("n_tokens"),
+            F.round(F.aggregate(ts, F.lit(0).cast("long"),
+                                lambda a, t: a + F.length(t))
+                    / F.greatest(n, F.lit(1)) * 10_000)
+            .cast("long").alias("mean_word_len_e4"),
+            F.when(n >= 2,
+                   F.round(maxc / (n - 1) * 10_000).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("top_bigram_share_e4"))
+
+    stats = F.element_at(
+        F.transform(F.array(tokens_col(F.col(text_col))), per_row), 1)
+    out = (docs.select(F.col(id_col).alias("id"), stats.alias("_s"))
+           .select("id",
+                   F.col("_s.n_tokens").alias("n_tokens"),
+                   F.col("_s.mean_word_len_e4").alias("mean_word_len_e4"),
+                   F.col("_s.top_bigram_share_e4")
                    .alias("top_bigram_share_e4")))
-    out = (base.join(top, "id", "left")
-           .withColumn("top_bigram_share_e4",
-                       F.coalesce("top_bigram_share_e4", F.lit(0))))
     keep = ((F.col("n_tokens") >= min_tokens)
             & (F.col("n_tokens") <= max_tokens)
             & (F.col("mean_word_len_e4") >= int(min_mean_word_len * 10_000))
@@ -153,6 +179,15 @@ def gopher_quality_flags(docs: DataFrame, id_col: str = "doc_id",
             & (F.col("top_bigram_share_e4")
                <= int(max_bigram_share * 10_000)))
     return out.withColumn("keep", keep)
+
+
+def _bigram_at_var(ts):
+    # like _bigram_at but over a lambda-bound array Column (see
+    # gopher_quality_flags: the let-binding keeps tokenization O(n))
+    def f(i):
+        return F.concat_ws(" ", F.element_at(ts, i),
+                           F.element_at(ts, i + 1))
+    return f
 
 
 def _bigram_at(ts_col: str):
