@@ -42,7 +42,12 @@ def _api(path: str):
 
 
 def _stage_totals() -> dict:
-    """Sum shuffle/spill bytes over all completed stages so far."""
+    """Sum shuffle/spill bytes over all completed stages so far.
+
+    Also records the per-stage shuffle-write max and the set of seen
+    stage ids so _delta can scope the max to ONE timed plan (without
+    the id set, a later plan's "max stage" silently reports the
+    biggest stage of the whole application)."""
     try:
         app_id = _api("applications")[0]["id"]
         stages = _api(f"applications/{app_id}/stages?status=complete")
@@ -51,6 +56,7 @@ def _stage_totals() -> dict:
     tot = {"shuffle_read_b": 0, "shuffle_write_b": 0,
            "mem_spill_b": 0, "disk_spill_b": 0,
            "max_stage_shuffle_write_b": 0}
+    per_stage = {}
     for s in stages:
         tot["shuffle_read_b"] += s.get("shuffleReadBytes", 0)
         tot["shuffle_write_b"] += s.get("shuffleWriteBytes", 0)
@@ -58,6 +64,9 @@ def _stage_totals() -> dict:
         tot["disk_spill_b"] += s.get("diskBytesSpilled", 0)
         tot["max_stage_shuffle_write_b"] = max(
             tot["max_stage_shuffle_write_b"], s.get("shuffleWriteBytes", 0))
+        per_stage[(s.get("stageId"), s.get("attemptId"))] = \
+            s.get("shuffleWriteBytes", 0)
+    tot["_per_stage"] = per_stage
     return tot
 
 
@@ -65,9 +74,10 @@ def _delta(after: dict, before: dict) -> dict:
     if not after:
         return {}
     out = {k: after[k] - before.get(k, 0) for k in after
-           if not k.startswith("max_")}
-    out["max_stage_shuffle_write_b"] = after.get(
-        "max_stage_shuffle_write_b", 0)
+           if not k.startswith(("max_", "_"))}
+    new = [v for k, v in after.get("_per_stage", {}).items()
+           if k not in before.get("_per_stage", {})]
+    out["max_stage_shuffle_write_b"] = max(new, default=0)
     return out
 
 
