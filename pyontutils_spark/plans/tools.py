@@ -65,12 +65,15 @@ def ttlfmt(spark: SparkSession, in_path: str, out_path: str | None = None,
     elif out_format in ("json-ld", "jsonld"):
         from ..sources.rdf import write_jsonld_string
         text = write_jsonld_string(triples)
+    elif out_format == "trig":
+        from ..sources.rdf import write_trig_string
+        text = write_trig_string(triples, prefix_map or DEFAULT_PREFIXES)
     elif out_format == "turtle":
         text = write_turtle_string(triples, prefix_map or DEFAULT_PREFIXES)
     else:
         raise ValueError(
             f"ttlfmt: unknown out_format {out_format!r} (accepted: "
-            "nifttl, turtle, nt/ntriples, xml/rdfxml, json-ld)")
+            "nifttl, turtle, nt/ntriples, xml/rdfxml, json-ld, trig)")
     if out_path is not None:
         with open(out_path, "w") as f:
             f.write(text)

@@ -391,6 +391,47 @@ def read_rdfxml(spark: SparkSession, path: str) -> DataFrame:
     return _per_file_source(spark, path, parse_rdfxml)
 
 
+def read_trig(spark: SparkSession, path: str) -> DataFrame:
+    """TriG files -> quad rows: the engine triple schema plus
+    ``src_graph`` (NULL for default-graph statements) — the document
+    analog of :func:`read_nquads`, same output schema.  TriG carries
+    document-level state (prefixes, base, graph blocks) so the file is
+    the parse unit (kernel/trig.py per file); every Turtle file is
+    also a valid TriG file and parses to all-NULL ``src_graph``."""
+    from ..kernel.trig import parse_trig
+    files = spark.read.text(path, wholetext=True) \
+        .withColumn("_src", F.input_file_name())
+
+    def per_file(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.trig import parse_trig
+        cols = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype",
+                "obj_lang", "src_graph"]
+        for pdf in batches:
+            rows = []
+            for text, src in zip(pdf["value"], pdf["_src"]):
+                rows.extend(parse_trig(text, src))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(
+        per_file, schema=vocab.TRIPLE_SCHEMA + ", src_graph string")
+
+
+def write_trig_string(triples: DataFrame, prefix_map=None,
+                      graph_col: str = "src_graph") -> str:
+    """Deterministic TriG text for a small graph set — write-side
+    complement of :func:`read_trig` (same driver-size boundary and
+    round-trip property as :func:`write_rdfxml_string`; the bulk
+    named-graph dump shape is :func:`write_nquads`).  ``graph_col``
+    (nullable, optional) supplies the named graph per row."""
+    from ..kernel.trig import serialize_trig
+    has_g = graph_col in triples.columns
+    rows = [(r.subj, r.pred, r.obj, r.obj_is_literal, r.obj_datatype,
+             r.obj_lang, getattr(r, graph_col) if has_g else None)
+            for r in triples.collect()]
+    pm = prefix_map or DEFAULT_PREFIXES
+    return serialize_trig(rows, pm)
+
+
 def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
     """JSON-LD files -> triple rows (kernel/jsonld.py per file)."""
     from ..kernel.jsonld import parse_jsonld
@@ -409,12 +450,13 @@ def read_rdf(spark: SparkSession, path: str,
                "nq": read_nquads, "nquads": read_nquads,
                "json-ld": read_jsonld, "jsonld": read_jsonld,
                "rdf-xml": read_rdfxml, "rdfxml": read_rdfxml,
-               "xml": read_rdfxml, "obo": read_obo}
+               "xml": read_rdfxml, "obo": read_obo,
+               "trig": read_trig}
     if rdf_format:
         return readers[rdf_format](spark, path)
     low = path.lower()
     for ext, fn in ((".ttl", read_turtle), (".nt", read_ntriples),
-                    (".nq", read_nquads),
+                    (".nq", read_nquads), (".trig", read_trig),
                     (".jsonld", read_jsonld), (".json", read_jsonld),
                     (".owl", read_rdfxml), (".rdf", read_rdfxml),
                     (".xml", read_rdfxml), (".obo", read_obo)):
@@ -422,7 +464,8 @@ def read_rdf(spark: SparkSession, path: str,
                 or (ext + "/") in low:
             return fn(spark, path)
     last_err = None
-    for fn in (read_turtle, read_jsonld, read_ntriples, read_rdfxml):
+    for fn in (read_turtle, read_jsonld, read_ntriples, read_rdfxml,
+               read_trig):
         try:
             df = fn(spark, path)
             if not df.limit(1).collect():
