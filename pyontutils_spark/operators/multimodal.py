@@ -251,7 +251,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch: PPM/BMP/PNG/baseline-JPEG all decode here
+    """Magic-byte dispatch: PPM/BMP/PNG/GIF/baseline-JPEG all decode here
     with no third-party library (kernel/jpeg.py reads the stream's own
     quant/Huffman tables, handles 4:2:0/4:2:2/4:4:4 + restart markers;
     progressive/arithmetic JPEG raises a declared NotImplementedError
@@ -263,6 +263,9 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if b.startswith(b"\x89PNG"):
         return decode_png(payload)
+    if b.startswith(b"GIF8"):
+        from ..kernel.gif import decode_gif
+        return decode_gif(payload)
     if b.startswith(b"\xff\xd8"):
         from ..kernel.jpeg import decode_jpeg
         try:
