@@ -22,6 +22,8 @@ from __future__ import annotations
 import re
 from html.parser import HTMLParser
 
+from .encoding import decode_html
+
 EXTRACTOR_VERSION = "1"
 
 _SKIP_SUBTREE = {"script", "style", "noscript", "template", "head", "svg"}
@@ -77,7 +79,7 @@ def html_to_text_reference(html: bytes | str) -> str:
     deterministic; the per-url byte-identical invariant is defined
     against THIS function."""
     if isinstance(html, (bytes, bytearray)):
-        html = html.decode("utf-8", errors="replace")
+        html = decode_html(html)
     p = _TextExtractor()
     p.feed(html)
     p.close()
@@ -108,7 +110,7 @@ def html_to_text(html: bytes | str) -> str:
     """Fast extractor: same rules as ``html_to_text_reference`` via
     compiled regexes (the hot path for 10^12 pages)."""
     if isinstance(html, (bytes, bytearray)):
-        html = html.decode("utf-8", errors="replace")
+        html = decode_html(html)
     s = _RX_COMMENT.sub("", html)
     s = _RX_SUBTREE.sub("", s)
     s = _RX_BLOCK.sub("\n", s)
