@@ -1379,6 +1379,82 @@ def _q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT hour_ts, event_type, n FROM {name}")
 
 
+# ---------------------------------------------------------------------------
+# STAGED gate candidates (round-7 window): written and oracle-tested this
+# round but NOT in queries() — the round-6 gate froze at 67 names after
+# the full-gate re-run.  Next round: move these into queries()/oracle_sql()
+# FIRST, re-run the complete gate, then freeze (the round-4 discipline).
+# ---------------------------------------------------------------------------
+
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate spans (Lee et al. 2022 style,
+    operators/spandedup.py): verbatim 8-token windows shared by >= 2
+    docs (full documents table: the corpus shares verbatim runs only
+    corpus-wide).  Site structs are flattened to doc*1e6+pos keys (the struct
+    min/max is lexicographic (doc, pos), identical to the integer key
+    order while pos < 1e6 — fixture positions are « 1e6)."""
+    from pyontutils_spark.operators.spandedup import duplicate_spans
+    docs = _docs(spark, sf_dir)
+    spans = duplicate_spans(docs, id_col="doc_id", text_col="text",
+                            k=8, stride=1)
+    key_a = (F.col("site_a.doc").cast("long") * 1_000_000
+             + F.col("site_a.pos"))
+    key_b = (F.col("site_b.doc").cast("long") * 1_000_000
+             + F.col("site_b.pos"))
+    return spans.select(
+        "span_tokens",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_sites").cast("long").alias("n_sites"),
+        key_a.alias("site_a_key"), key_b.alias("site_b_key"))
+
+
+_STAGED_SPAN_DEDUP_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKEN_CLEAN_SQL.format(col='text')} AS ts
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, pos,
+             array_to_string(ts[pos + 1 : pos + 8], chr(31)) AS span_tokens
+      FROM (SELECT doc_id, ts,
+                   unnest(generate_series(0, len(ts) - 8)) AS pos
+            FROM d WHERE len(ts) >= 8)
+    )
+    SELECT span_tokens,
+           count(DISTINCT doc_id)::bigint AS n_docs,
+           count(*)::bigint AS n_sites,
+           min(doc_id * 1000000 + pos)::bigint AS site_a_key,
+           max(doc_id * 1000000 + pos)::bigint AS site_b_key
+    FROM w GROUP BY span_tokens HAVING count(DISTINCT doc_id) >= 2
+    """
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train+encode end-to-end (rows-only — training is a driver
+    merge loop no SQL engine can mirror): deterministic model on
+    doc_id < 40, per-doc id-sequence checksum + token count."""
+    from pyontutils_spark.operators.tokenize import bpe_encode, train_bpe
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    trained = train_bpe(docs, n_merges=64, min_count=2)
+    enc = bpe_encode(docs, trained.tokenizer)
+    return enc.select(
+        "doc_id",
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.crc32(F.concat_ws(",", F.transform(
+            "token_ids", lambda x: x.cast("string"))))
+        .cast("long").alias("ids_crc"))
+
+
+def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Round-7 gate candidates (see note above) — runnable now via
+    scripts/check_oracle.py once promoted."""
+    return {"span_dedup": _q_span_dedup, "bpe_encode": _q_bpe_encode}
+
+
+def staged_oracle_sql() -> dict[str, str]:
+    return {"span_dedup": _STAGED_SPAN_DEDUP_SQL}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's CORRECTNESS snapshot records only the
     # first 50 names (observed r3-r5), so dict order is rotated each

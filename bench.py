@@ -132,6 +132,35 @@ def main() -> None:
         n_docs_cur / timings["curate_funnel_100k"], 1)
     extras["curate_runs_sec"] = cur_runs
 
+    # --- substring-level duplicate spans (Lee-et-al-style) on the same
+    # 100k-doc corpus: hash-only first shuffle, broadcast hot-fp verify
+    from pyontutils_spark.operators.spandedup import duplicate_spans
+
+    _force(duplicate_spans(cur_docs.limit(5_000), k=20, stride=10))
+    sp_runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _force(duplicate_spans(cur_docs, k=20, stride=10))
+        sp_runs.append(round(time.perf_counter() - t0, 3))
+    timings["span_dedup_100k"] = min(sp_runs)
+    extras["span_dedup_runs_sec"] = sp_runs
+
+    # --- BPE: distributed histogram train + Arrow encode throughput ----
+    from pyontutils_spark.operators.tokenize import bpe_encode, train_bpe
+
+    t0 = time.perf_counter()
+    trained = train_bpe(cur_docs, n_merges=512, min_count=5)
+    timings["bpe_train_100k"] = round(time.perf_counter() - t0, 3)
+    _force(bpe_encode(cur_docs.limit(5_000), trained.tokenizer))  # warm
+    enc_runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _force(bpe_encode(cur_docs, trained.tokenizer))
+        enc_runs.append(round(time.perf_counter() - t0, 3))
+    timings["bpe_encode_100k"] = min(enc_runs)
+    extras["bpe_encode_runs_sec"] = enc_runs
+    extras["bpe_vocab_size"] = len(trained.tokenizer.vocab)
+
     # --- warmup: exercise codegen/broadcast/pandas-udf machinery once so
     # per-query timings measure the operator, not JVM warmup ------------
     warm = spark.range(1000).select(

@@ -250,6 +250,26 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(raw, dtype="<i2").reshape(-1, ch), rate
 
 
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Magic-byte audio dispatch -> (samples [n, ch] int array, rate,
+    bits_per_sample).  WAV via stdlib, FLAC via the pure-Python kernel
+    (kernel/flac.py); anything else raises the declared gate."""
+    head = bytes(payload[:4])
+    if head == b"fLaC":
+        from ..kernel.flac import decode_flac, parse_streaminfo
+        data = bytes(payload)
+        info = parse_streaminfo(data)
+        chans, rate = decode_flac(data)
+        arr = np.array(chans, dtype=np.int64).T
+        return arr, rate, info["bits_per_sample"]
+    if head == b"RIFF":
+        samples, rate = decode_wav(payload)
+        return samples, rate, 16
+    raise NotImplementedError(
+        "audio codec not supported (WAV and FLAC decode here; no codec "
+        "library in this container for anything else)")
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch: PPM/BMP/PNG/GIF/baseline-JPEG all decode here
     with no third-party library (kernel/jpeg.py reads the stream's own
@@ -412,8 +432,8 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM,
         if decoder == "image":
             return image_features(decode_image(payload), dim)
         if decoder == "audio":
-            samples, rate = decode_wav(payload)
-            x = samples.astype("float64") / 32768.0
+            samples, rate, bits = decode_audio(payload)
+            x = samples.astype("float64") / float(1 << (bits - 1))
             f = np.zeros(dim)
             f[0] = x.mean()
             f[1] = x.std()

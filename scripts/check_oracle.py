@@ -40,7 +40,14 @@ def run():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = sys.argv[1:] or list(qs)
+    args = sys.argv[1:]
+    if args and args[0] == "--staged":
+        # round-7 gate candidates (entrymod.staged_queries): verify the
+        # same way without touching the frozen gate
+        args = args[1:]
+        qs = entrymod.staged_queries()
+        oracles = entrymod.staged_oracle_sql()
+    names = args or list(qs)
     failures = []
     for name in names:
         try:
