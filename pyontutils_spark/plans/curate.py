@@ -95,6 +95,11 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
                   sample_den: int = 100,
                   sample_rates: dict | None = None,
                   sample_salt: str = "curate",
+                  robots: DataFrame | None = None,
+                  robots_user_agent: str = "pyontutils-spark",
+                  span_winnow: int | None = None,
+                  span_k: int = 50,
+                  max_dup_window_share: float = 0.5,
                   report: bool = True) -> CurationResult:
     """Run the curation funnel (module docstring) over
     ``docs(id, [url], text, [lang])`` and return the surviving rows
@@ -117,6 +122,12 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
         return df
 
     cur = note("input", docs)
+    if robots is not None:
+        if url_col is None or url_col not in docs.columns:
+            raise ValueError("robots admission needs a url column")
+        from ..operators.crawl import robots_filter
+        cur = note("robots", robots_filter(
+            cur, robots, robots_user_agent, url_col=url_col))
     if url_col is not None and url_col in docs.columns:
         cur = note("url_dedup",
                    _keep_url_representatives(cur, id_col, url_col))
@@ -124,6 +135,21 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
                _keep_exact_representatives(cur, id_col, text_col))
     cur = note("near_dedup",
                _drop_near_dups(cur, id_col, text_col, lsh_k, lsh_bands))
+    if span_winnow is not None:
+        # substring-level gate: drop docs that are mostly duplicated
+        # windows even if no whole-doc near-dup matched them (license
+        # walls, boilerplate shells).  Docs shorter than span_k tokens
+        # have no stats row and pass through.  Like near-dedup, the
+        # keep-decision is corpus-relative by nature.
+        from ..operators.spandedup import span_dedup_stats
+        stats = span_dedup_stats(cur, id_col, text_col, k=span_k,
+                                 winnow=span_winnow)
+        joined = cur.join(stats, id_col, "left")
+        cur = note("span_dedup", joined.filter(
+            F.col("n_windows").isNull()
+            | (F.col("n_dup_windows")
+               <= F.col("n_windows") * F.lit(max_dup_window_share)))
+            .select(*cur.columns))
     flags = gopher_quality_flags(cur, id_col, text_col,
                                  **(quality_kwargs or {}))
     keep_ids = flags.filter(F.col("keep")).select(

@@ -96,3 +96,48 @@ def test_curation_null_urls_not_collapsed(spark):
     ids = {r.doc_id for r in res.docs.select("doc_id").collect()}
     assert set(range(10)).issubset(ids)
     assert 50 in ids and 51 not in ids  # min-id variant kept
+
+
+def test_curation_funnel_robots_stage(spark, corpus):
+    robots = spark.createDataFrame(
+        [("spam.example", "User-agent: *\nDisallow: /\n"),
+         ("site.example", "User-agent: *\nDisallow: /p1$\n")],
+        "host string, robots_txt string")
+    res = curate_corpus(corpus, robots=robots)
+    ids = {r.doc_id for r in res.docs.select("doc_id").collect()}
+    assert 104 not in ids                   # spam.example blanket block
+    assert 1 not in ids                     # /p1 disallowed
+    assert 0 in ids and 2 in ids            # others unaffected
+    assert res.counts["robots"] < res.counts["input"]
+    # stage order: robots runs first
+    assert [s for s, _ in res.stages][:2] == ["input", "robots"]
+    with pytest.raises(ValueError, match="url column"):
+        curate_corpus(corpus.drop("url"), url_col=None, robots=robots)
+
+
+def test_curation_funnel_span_stage(spark, corpus):
+    # two docs sharing a 60-token verbatim block with DISTINCT 15-token
+    # remainders (phase-shifted).  lsh_bands=1 degenerates near-dup to
+    # all-16-minhashes-equal (effectively exact-only), isolating the
+    # span gate: these docs reach it and ~78% of their windows are
+    # duplicated -> both dropped; clean docs (share 0) untouched.
+    shared = " ".join(f"wall{j}" for j in range(60))
+    ua = " ".join(f"uniqa{j}" for j in range(15))
+    ub = " ".join(f"uniqb{j}" for j in range(15))
+    extra = spark.createDataFrame(
+        [(200, "http://wall.example/a", f"{shared} {ua}", "en"),
+         (201, "http://wall.example/b", f"{ub} {shared}", "en")],
+        "doc_id long, url string, text string, lang string")
+    docs = corpus.unionByName(extra)
+    res = curate_corpus(docs, lsh_bands=1, span_winnow=4, span_k=8,
+                        max_dup_window_share=0.5)
+    ids = {r.doc_id for r in res.docs.select("doc_id").collect()}
+    assert ids.isdisjoint({200, 201})
+    assert {0, 1, 2}.issubset(ids)
+    assert "span_dedup" in res.counts
+    assert res.counts["span_dedup"] <= res.counts["near_dedup"]
+    # without the stage the wall docs survive (whole-doc dedup cannot
+    # see them) — proves the stage adds real coverage
+    res0 = curate_corpus(docs, lsh_bands=1)
+    ids0 = {r.doc_id for r in res0.docs.select("doc_id").collect()}
+    assert {200, 201} <= ids0

@@ -1,0 +1,98 @@
+"""N-gram LM perplexity scoring: model math + distributed training."""
+
+import math
+import re
+from collections import Counter
+
+import pytest
+
+from pyontutils_spark.operators.lm import NGramLM
+
+
+def _toks(t):
+    return [x for x in re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if x]
+
+
+def test_model_math_by_hand():
+    lm = NGramLM({"a": 6, "b": 3, "<unk>": 1}, {"a\x1fb": 2, "a\x1fa": 3},
+                 k=0.5, lam=0.7)
+    # unigram: p1(b) = (3 + .5) / (10 + .5*3)
+    p1b = 3.5 / 11.5
+    assert math.isclose(lm._p1("b"), p1b)
+    # first token: log2 p1
+    assert math.isclose(lm.logprob_token(None, "b"), math.log2(p1b))
+    # bigram: p2(b|a) = (2 + .5) / (ctx_a=5 + .5*3)
+    p2 = 2.5 / 6.5
+    want = math.log2(0.7 * p2 + 0.3 * p1b)
+    assert math.isclose(lm.logprob_token("a", "b"), want)
+    # OOV maps to <unk> on both sides
+    assert lm.logprob_token("zzz", "qqq") == lm.logprob_token(
+        "<unk>", "<unk>")
+
+
+def test_distribution_is_proper():
+    lm = NGramLM({"a": 5, "b": 2, "c": 1, "<unk>": 2},
+                 {"a\x1fb": 2, "b\x1fa": 1}, k=0.5, lam=0.6)
+    for prev in (None, "a", "b", "zzz-oov"):
+        total = sum(2 ** lm.logprob_token(prev, t)
+                    for t in lm.unigrams)
+        assert total == pytest.approx(1.0, abs=1e-9), prev
+
+
+def test_json_roundtrip_and_empty():
+    lm = NGramLM({"a": 1, "<unk>": 1}, {}, k=0.25, lam=0.5)
+    lm2 = NGramLM.from_json(lm.to_json())
+    assert lm2.bits_per_token(["a", "a"]) == lm.bits_per_token(["a", "a"])
+    assert lm.bits_per_token([]) == 0.0
+
+
+@pytest.fixture(scope="module")
+def prose_docs(spark):
+    prose = ("the cat sat on the mat and the dog sat on the rug "
+             "while the cat saw the dog")
+    rows = [(i, prose) for i in range(20)]
+    rows += [(100 + i, f"zx{i}q wvu{i} jk{i}l qq{i}z xoxo{i}")
+             for i in range(3)]                    # gibberish outliers
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_train_matches_local_counts(spark, prose_docs):
+    from pyontutils_spark.operators.lm import train_ngram_lm
+    lm = train_ngram_lm(prose_docs, max_vocab=1000, min_count=1)
+    texts = [r["text"] for r in prose_docs.collect()]
+    uni = Counter(t for x in texts for t in _toks(x))
+    big = Counter()
+    for x in texts:
+        ts = _toks(x)
+        big.update(a + "\x1f" + b for a, b in zip(ts, ts[1:]))
+    for t, c in uni.items():
+        assert lm.unigrams[t] == c, t
+    assert lm.unigrams["<unk>"] == 0          # everything in vocab
+    for g, c in big.items():
+        assert lm.bigrams[g] == c, g
+    assert sum(lm.bigrams.values()) == sum(big.values())
+
+
+def test_unk_folding_under_small_vocab(spark, prose_docs):
+    from pyontutils_spark.operators.lm import train_ngram_lm
+    lm = train_ngram_lm(prose_docs, max_vocab=3, min_count=1)
+    texts = [r["text"] for r in prose_docs.collect()]
+    n_tokens = sum(len(_toks(x)) for x in texts)
+    assert lm.vsize == 4                       # top-3 + <unk>
+    assert sum(lm.unigrams.values()) == n_tokens   # mass preserved
+    assert lm.unigrams["<unk>"] > 0
+
+
+def test_score_docs_parity_and_separation(spark, prose_docs):
+    from pyontutils_spark.operators.lm import score_docs, train_ngram_lm
+    lm = train_ngram_lm(prose_docs, max_vocab=1000, min_count=1)
+    out = {r["doc_id"]: r["bits_per_token_e3"]
+           for r in score_docs(prose_docs, lm).collect()}
+    # parity with the kernel scorer
+    for r in prose_docs.collect():
+        want = round(lm.bits_per_token(_toks(r["text"])) * 1000)
+        assert out[r["doc_id"]] == want, r["doc_id"]
+    # prose scores far below the gibberish outliers
+    prose_scores = [v for k, v in out.items() if k < 100]
+    junk_scores = [v for k, v in out.items() if k >= 100]
+    assert max(prose_scores) < min(junk_scores)
