@@ -1445,14 +1445,59 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("ids_crc"))
 
 
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical ranking (operators/rank.py) over the documents
+    table for a fixed 3-term query.  Determinism contract: per-(doc,
+    term) contributions round to micro-units BEFORE summing, so the
+    DuckDB mirror reproduces scores exactly (sums of rounded bigints,
+    never sums of doubles)."""
+    from pyontutils_spark.operators.rank import bm25_rank
+    docs = _docs(spark, sf_dir)
+    return bm25_rank(docs, ["hash", "slow", "vector"],
+                     id_col="doc_id", text_col="text")
+
+
+_STAGED_BM25_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKEN_CLEAN_SQL.format(col='text')} AS ts
+      FROM documents
+    ),
+    lens AS (SELECT doc_id, len(ts)::double AS dl FROM d),
+    stats AS (SELECT count(*)::double AS n, avg(dl) AS avgdl FROM lens),
+    tf AS (
+      SELECT doc_id, t AS term, count(*)::double AS tf
+      FROM (SELECT doc_id, unnest(ts) AS t FROM d)
+      WHERE t IN ('hash', 'slow', 'vector')
+      GROUP BY doc_id, t
+    ),
+    dfreq AS (SELECT term, count(DISTINCT doc_id)::double AS df
+              FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id,
+             round(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * (1.2 + 1))
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+                   * 1000000)::bigint AS c
+      FROM tf
+      JOIN dfreq df USING (term)
+      JOIN lens l ON l.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, sum(c)::bigint AS score_e6
+    FROM contrib GROUP BY doc_id
+    """
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-7 gate candidates (see note above) — runnable now via
     scripts/check_oracle.py once promoted."""
-    return {"span_dedup": _q_span_dedup, "bpe_encode": _q_bpe_encode}
+    return {"span_dedup": _q_span_dedup, "bpe_encode": _q_bpe_encode,
+            "bm25": _q_bm25}
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    return {"span_dedup": _STAGED_SPAN_DEDUP_SQL}
+    return {"span_dedup": _STAGED_SPAN_DEDUP_SQL,
+            "bm25": _STAGED_BM25_SQL}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

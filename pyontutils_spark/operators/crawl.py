@@ -21,7 +21,8 @@ from pyspark.sql.types import BooleanType
 
 from ..kernel.robots import parse_robots
 
-__all__ = ["host_col", "robots_admit", "robots_filter"]
+__all__ = ["host_col", "robots_admit", "robots_filter",
+           "robots_table_from_pages"]
 
 _HOST_RX = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/?#@]*@)?([^/:?#]+)"
 
@@ -83,3 +84,35 @@ def robots_filter(pages: DataFrame, robots: DataFrame, user_agent: str,
     out_col = kw.pop("out_col", "robots_allowed")
     ann = robots_admit(pages, robots, user_agent, out_col=out_col, **kw)
     return ann.filter(F.col(out_col)).drop(out_col)
+
+
+def robots_table_from_pages(pages: DataFrame, url_col: str = "url",
+                            payload_col: str = "html") -> DataFrame:
+    """(host, robots_txt) from a crawled pages table.
+
+    Common Crawl ships robots.txt captures as ordinary WARC responses;
+    after ``sources/warc.read_warc`` they are pages rows whose URL path
+    is exactly ``/robots.txt``.  This selects those rows, decodes the
+    byte payload through the charset sniffer, and keeps one row per
+    host (min-URL deterministic tie-break) — the table
+    :func:`robots_admit` consumes.  Everything before the one small
+    decode stage is codegen on an already-tiny filtered slice.
+    """
+    from ..kernel.encoding import decode_html
+
+    def dec(payloads: pd.Series) -> pd.Series:
+        return payloads.map(
+            lambda p: None if p is None else decode_html(bytes(p)))
+
+    dec_udf = F.pandas_udf(dec, "string")
+    rob = (pages
+           .filter(F.regexp_extract(F.col(url_col),
+                                    r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"
+                                    r"[^/?#]+(/robots\.txt)$", 1)
+                   == "/robots.txt")
+           .select(host_col(F.col(url_col)).alias("host"),
+                   F.col(url_col).alias("__u"),
+                   F.col(payload_col).alias("__p")))
+    first = (rob.groupBy("host")
+             .agg(F.min_by(F.col("__p"), F.col("__u")).alias("__p")))
+    return first.select("host", dec_udf(F.col("__p")).alias("robots_txt"))
