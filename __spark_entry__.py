@@ -1488,16 +1488,89 @@ _STAGED_BM25_SQL = f"""
     """
 
 
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM perplexity (operators/lm.py): train the
+    interpolated unigram+bigram model on the corpus itself (top-100
+    vocab, min_count 2, k=0.5, lam=0.7) and score every doc.  The
+    integer contract (per-token micro-bit rounding, int half-up
+    average) makes the ln()-based scores reproducible in SQL."""
+    from pyontutils_spark.operators.lm import score_docs, train_ngram_lm
+    docs = _docs(spark, sf_dir)
+    lm = train_ngram_lm(docs, max_vocab=100, min_count=2)
+    return score_docs(docs, lm).select("doc_id", "bits_per_token_e3")
+
+
+_STAGED_LM_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKEN_CLEAN_SQL.format(col='text')} AS ts
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i AS idx, ts[i] AS tok
+      FROM (SELECT doc_id, ts,
+                   unnest(generate_series(1, len(ts))) AS i
+            FROM d)
+    ),
+    uni_all AS (SELECT tok, count(*)::bigint AS c FROM pos GROUP BY tok),
+    vocab AS (SELECT tok, c FROM uni_all WHERE c >= 2
+              ORDER BY c DESC, tok ASC LIMIT 100),
+    tot AS (SELECT count(*)::bigint AS t FROM pos),
+    vsz AS (SELECT (count(*) + 1)::bigint AS v FROM vocab),
+    lab AS (
+      SELECT p.doc_id, p.idx,
+             CASE WHEN v.tok IS NULL THEN '<unk>' ELSE p.tok END AS tok
+      FROM pos p LEFT JOIN vocab v ON v.tok = p.tok
+    ),
+    seq AS (
+      SELECT doc_id, idx, tok,
+             lag(tok) OVER (PARTITION BY doc_id ORDER BY idx) AS prev
+      FROM lab
+    ),
+    big AS (SELECT prev AS a, tok AS b, count(*)::bigint AS c
+            FROM seq WHERE prev IS NOT NULL GROUP BY a, b
+            HAVING count(*) >= 2),
+    ctx AS (SELECT a, sum(c)::bigint AS c FROM big GROUP BY a),
+    uni_model AS (
+      SELECT tok, c FROM vocab
+      UNION ALL
+      SELECT '<unk>',
+             (SELECT t FROM tot) - (SELECT coalesce(sum(c), 0) FROM vocab)
+    ),
+    scored AS (
+      SELECT s.doc_id,
+             round(-ln(
+               CASE WHEN s.prev IS NULL THEN
+                 (u.c + 0.5)
+                 / ((SELECT t FROM tot) + 0.5 * (SELECT v FROM vsz))
+               ELSE
+                 0.7 * (coalesce(b.c, 0) + 0.5)
+                     / (coalesce(cx.c, 0) + 0.5 * (SELECT v FROM vsz))
+                 + 0.3 * (u.c + 0.5)
+                     / ((SELECT t FROM tot) + 0.5 * (SELECT v FROM vsz))
+               END) / ln(2) * 1000000)::bigint AS mb
+      FROM seq s
+      JOIN uni_model u ON u.tok = s.tok
+      LEFT JOIN big b ON b.a = s.prev AND b.b = s.tok
+      LEFT JOIN ctx cx ON cx.a = s.prev
+    )
+    SELECT doc_id,
+           ((sum(mb) + count(*) * 500) // (count(*) * 1000))::bigint
+             AS bits_per_token_e3
+    FROM scored GROUP BY doc_id
+    """
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Round-7 gate candidates (see note above) — runnable now via
     scripts/check_oracle.py once promoted."""
     return {"span_dedup": _q_span_dedup, "bpe_encode": _q_bpe_encode,
-            "bm25": _q_bm25}
+            "bm25": _q_bm25, "lm_score": _q_lm_score}
 
 
 def staged_oracle_sql() -> dict[str, str]:
     return {"span_dedup": _STAGED_SPAN_DEDUP_SQL,
-            "bm25": _STAGED_BM25_SQL}
+            "bm25": _STAGED_BM25_SQL,
+            "lm_score": _STAGED_LM_SQL}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

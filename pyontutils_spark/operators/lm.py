@@ -93,6 +93,23 @@ class NGramLM:
             prev = t if t in self.unigrams else _UNK
         return total / len(tokens)
 
+    def bits_e3(self, tokens: list) -> int:
+        """Cross-entropy in integer milli-bits/token — the
+        cross-engine-exact contract: each token's -log2 p is rounded
+        to MICRO-bits first, the micro-bit ints are summed, and the
+        average is taken with integer half-up division.  Sums of
+        rounded bigints are order-independent, so a SQL oracle
+        reproduces this bit-for-bit (sums of raw doubles do not)."""
+        if not tokens:
+            return 0
+        prev = None
+        total = 0
+        for t in tokens:
+            total += round(-self.logprob_token(prev, t) * 1_000_000)
+            prev = t if t in self.unigrams else _UNK
+        n = len(tokens)
+        return (total + n * 500) // (n * 1000)
+
     def to_json(self) -> str:
         return json.dumps(
             {"unigrams": self.unigrams, "bigrams": self.bigrams,
@@ -177,7 +194,7 @@ def perplexity_col(model: NGramLM, text_col) -> Column:
             if not t:
                 return 0
             toks = [x for x in tok_rx.sub(" ", t.lower()).split() if x]
-            return round(lm.bits_per_token(toks) * 1000)
+            return lm.bits_e3(toks)
 
         return texts.map(one)
 

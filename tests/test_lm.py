@@ -88,10 +88,13 @@ def test_score_docs_parity_and_separation(spark, prose_docs):
     lm = train_ngram_lm(prose_docs, max_vocab=1000, min_count=1)
     out = {r["doc_id"]: r["bits_per_token_e3"]
            for r in score_docs(prose_docs, lm).collect()}
-    # parity with the kernel scorer
+    # parity with the kernel scorer (integer micro-bit contract)
     for r in prose_docs.collect():
-        want = round(lm.bits_per_token(_toks(r["text"])) * 1000)
+        toks = _toks(r["text"])
+        want = lm.bits_e3(toks)
         assert out[r["doc_id"]] == want, r["doc_id"]
+        # the integer contract tracks the float value within 1 milli-bit
+        assert abs(want - lm.bits_per_token(toks) * 1000) <= 1.0
     # prose scores far below the gibberish outliers
     prose_scores = [v for k, v in out.items() if k < 100]
     junk_scores = [v for k, v in out.items() if k >= 100]
