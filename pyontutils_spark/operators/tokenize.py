@@ -71,12 +71,18 @@ def train_bpe(docs: DataFrame, text_col: str = "text",
     ``TrainedBPE.truncated`` says whether the cap actually bit — no
     silent coverage loss.
     """
-    hist = word_counts(docs, text_col)
-    n_distinct = hist.count()
-    top = (hist.filter(F.col("count") >= min_count)
-           .orderBy(F.col("count").desc(), F.col("word").asc())
-           .limit(max_words)
-           .collect())
+    # persist the (small) histogram so the corpus is scanned ONCE for
+    # both the distinct-word count and the truncated collect — without
+    # it the full text pass runs twice (guide: remove repeated passes)
+    hist = word_counts(docs, text_col).persist()
+    try:
+        n_distinct = hist.count()
+        top = (hist.filter(F.col("count") >= min_count)
+               .orderBy(F.col("count").desc(), F.col("word").asc())
+               .limit(max_words)
+               .collect())
+    finally:
+        hist.unpersist()
     counts = {r["word"]: r["count"] for r in top}
     tok = train_bpe_from_counts(counts, n_merges=n_merges)
     return TrainedBPE(tokenizer=tok,

@@ -79,6 +79,35 @@ def test_incremental_trainer_matches_naive_recount():
         assert tok.base_symbols == ref_base
 
 
+def test_vectorized_trainer_matches_pure_python_reference():
+    """round-7 perf rewrite: the NumPy flat-slot trainer must be
+    byte-identical to the retained pure-Python reference, including
+    overlapping same-symbol runs, unicode, and empty/degenerate input."""
+    from pyontutils_spark.kernel.bpe import train_bpe_from_counts_reference
+    rng = random.Random(7)
+    for trial in range(40):
+        alphabet = "ab" if trial % 3 == 0 else "abcde"
+        words = {}
+        for _ in range(rng.randint(1, 50)):
+            w = "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 12)))
+            words[w] = words.get(w, 0) + rng.randint(1, 9)
+        for nm in (1, 7, 40):
+            ref = train_bpe_from_counts_reference(words, n_merges=nm)
+            new = train_bpe_from_counts(words, n_merges=nm)
+            assert new.merges == ref.merges, (trial, nm, words)
+            assert new.vocab == ref.vocab, (trial, nm)
+    for counts in ({"aaaa": 3}, {"aaaaa": 2, "aa": 7}, {"abab": 4},
+                   {"ababab": 2, "ba": 1}, {"a": 5}, {"": 3, "x": 1},
+                   {}, {"naïve": 4, "café": 6, "日本語テスト": 3,
+                        "a💡b": 5}):
+        for nm in (0, 1, 3, 10):
+            ref = train_bpe_from_counts_reference(counts, n_merges=nm)
+            new = train_bpe_from_counts(counts, n_merges=nm)
+            assert new.merges == ref.merges, (counts, nm)
+            assert new.vocab == ref.vocab, (counts, nm)
+
+
 def test_determinism_under_dict_order():
     counts = dict(word_histogram(CORPUS))
     items = list(counts.items())
