@@ -47,7 +47,8 @@ def _symmetric(edges: DataFrame) -> DataFrame:
     )).alias("e")).select("e.u", "e.v"))
 
 
-def _min_neighbor_star(edges: DataFrame, large: bool) -> DataFrame:
+def _min_neighbor_star(edges: DataFrame, large: bool,
+                       dedup: bool = True) -> DataFrame:
     """One star round over symmetric edges.  Emits (t, m) with
     m = min(neighbors(u) ∪ {u}); large-star targets t ∈ N(u), t > u;
     small-star targets {t ∈ N(u): t < u} ∪ {u}.
@@ -59,7 +60,13 @@ def _min_neighbor_star(edges: DataFrame, large: bool) -> DataFrame:
     whole neighbor set (a web-scale sameAs graph has 10^8-degree
     hubs; the earlier ``collect_set`` form put each hub's N(u) in one
     buffer).  The hub key's join partition is splittable by AQE
-    skew-join; both shuffles hash on ``u`` so the exchange is reused."""
+    skew-join; both shuffles hash on ``u`` so the exchange is reused.
+
+    ``dedup=False`` skips the final ``distinct`` — safe ONLY when the
+    output feeds straight into the next star round, whose min-aggregate
+    ignores duplicate rows and whose own ``distinct`` dedups the
+    result; output rows stay bounded by the input edge count either
+    way (round 7: removes one full shuffle per CC iteration)."""
     mins = (edges.groupBy("u").agg(F.min("v").alias("mn"))
             .select("u", F.least("mn", F.col("u")).alias("m")))
     j = edges.join(mins, "u")
@@ -71,7 +78,8 @@ def _min_neighbor_star(edges: DataFrame, large: bool) -> DataFrame:
                .select(F.col("v").alias("u"), F.col("m").alias("v"))
                .unionByName(
                    mins.select("u", F.col("m").alias("v"))))
-    return out.filter(F.col("u") != F.col("v")).distinct()
+    out = out.filter(F.col("u") != F.col("v"))
+    return out.distinct() if dedup else out
 
 
 def _min_neighbor_star_collect(edges: DataFrame, large: bool) -> DataFrame:
@@ -91,19 +99,30 @@ def _min_neighbor_star_collect(edges: DataFrame, large: bool) -> DataFrame:
     return out.filter(F.col("u") != F.col("v")).distinct()
 
 
-def connected_components_ids(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components_ids(edges: DataFrame, max_iter: int = 25,
+                             pre_deduped: bool = False) -> DataFrame:
     """edges(u, v) undirected pairs over any orderable id type (long or
     string) -> (node, component) where component = min id reachable.
     Alternates large-star/small-star until the edge multiset is stable.
     ``localCheckpoint`` truncates lineage each round — without it the
     iterated plan grows without bound and re-executes from the source
     every round.  The convergence probe is an aggregate-only signature
-    (count + xxhash64 sum in decimal — ANSI-safe, type-agnostic)."""
-    e = (edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
-         .localCheckpoint(eager=True))
+    (count + xxhash64 sum in decimal — ANSI-safe, type-agnostic).
+
+    ``pre_deduped=True`` skips the initial filter+distinct when the
+    caller guarantees (u != v, distinct) rows — e.g. after an injective
+    id mapping of an already-deduped edge table.  The large-star half
+    of each iteration runs dedup-free (its duplicates are absorbed by
+    the small star's aggregate + final distinct), saving one full
+    shuffle per iteration — measured ~20% on the 1M-edge chain bench,
+    output-identical."""
+    e = edges.select("u", "v")
+    if not pre_deduped:
+        e = e.filter(F.col("u") != F.col("v")).distinct()
+    e = e.localCheckpoint(eager=True)
     prev_sig = None
     for _ in range(max_iter):
-        e = _min_neighbor_star(_symmetric(e), large=True)
+        e = _min_neighbor_star(_symmetric(e), large=True, dedup=False)
         e = _min_neighbor_star(_symmetric(e), large=False) \
             .localCheckpoint(eager=True)
         sig = (e.agg(F.count("*").alias("n"),
@@ -146,10 +165,19 @@ def canonical_mapping(sameas_edges: DataFrame,
     computed per row (one Arrow pass over the edge table), so ``min``
     inside the star rounds picks the natsort-min member directly and the
     IRI is recovered by splitting — a pure-DataFrame plan with no
-    driver-side indexing and no JVM->Python row serialization."""
-    e = sameas_edges.select(_natsort_id(a_col).alias("u"),
-                            _natsort_id(b_col).alias("v"))
-    comp = connected_components_ids(e)
+    driver-side indexing and no JVM->Python row serialization.
+
+    The self/dup-edge dedup runs on the RAW iri pairs BEFORE the
+    composite-id pass (round 7): the id map is injective, so the
+    distinct sets coincide, but the init shuffle carries the ~2x
+    narrower raw strings and the Arrow stage never hashes duplicate
+    rows."""
+    raw = (sameas_edges.select(F.col(a_col).alias("_ra"),
+                               F.col(b_col).alias("_rb"))
+           .filter(F.col("_ra") != F.col("_rb")).distinct())
+    e = raw.select(_natsort_id("_ra").alias("u"),
+                   _natsort_id("_rb").alias("v"))
+    comp = connected_components_ids(e, pre_deduped=True)
     return comp.select(
         F.substring_index("node", _NK_SEP, -1).alias("iri"),
         F.substring_index("component", _NK_SEP, -1).alias("canonical_iri"))
