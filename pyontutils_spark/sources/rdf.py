@@ -267,29 +267,44 @@ def write_nifttl_string(triples: DataFrame,
 def nifttl_per_graph(triples: DataFrame, namespaces: dict,
                      graph_col: str = "src_file") -> DataFrame:
     """Distributed nifttl: serialize MANY graphs in parallel — one
-    deterministic nifttl document per ``graph_col`` group via
-    ``applyInPandas`` (the kernel serializer is pure Python, so each
-    worker renders its graphs independently).  This is the 100-TB shape
-    for the writer: a corpus of 10^4-10^6 ontology FILES serializes
-    with full cluster parallelism while each document keeps the exact
-    golden-tested byte layout.  Returns (graph_key, ttl) rows.
+    deterministic nifttl document per ``graph_col`` group (the kernel
+    serializer is pure Python, so each worker renders its graphs
+    independently).  This is the 100-TB shape for the writer: a corpus
+    of 10^4-10^6 ontology FILES serializes with full cluster
+    parallelism while each document keeps the exact golden-tested byte
+    layout.  Returns (graph_key, ttl) rows.
+
+    Grouping is a JVM-side ``collect_list(struct(...))`` aggregate
+    feeding ONE Arrow-batched pandas UDF that loops over many graphs
+    per batch (round 7): ``applyInPandas`` paid per-GROUP pandas/Arrow
+    framing, which dominated wall-clock at document scale (5k 36-triple
+    graphs: 9.2 s -> 1.9 s, byte-identical output).  Memory shape is
+    unchanged — either form materializes one whole document's triples
+    per group, which the serializer needs anyway; a graph is a FILE,
+    not a corpus.
 
     ``namespaces`` must be a plain dict (broadcast via closure); per-
     graph prefix blocks can differ only through culling — pass the
     union map and set ``cull`` semantics upstream if needed."""
+    from pyspark.sql.types import StringType
+
     from ..kernel.nifttl import serialize_nifttl
 
-    def per_graph(pdf: pd.DataFrame) -> pd.DataFrame:
-        key = pdf[graph_col].iloc[0]
-        rows = list(zip(pdf["subj"], pdf["pred"], pdf["obj"],
-                        pdf["obj_is_literal"], pdf["obj_datatype"],
-                        pdf["obj_lang"]))
-        return pd.DataFrame(
-            {"graph_key": [key],
-             "ttl": [serialize_nifttl(rows, namespaces)]})
+    def _ser_series(trip_lists: pd.Series) -> pd.Series:
+        return pd.Series([
+            serialize_nifttl(
+                [(r["subj"], r["pred"], r["obj"], r["obj_is_literal"],
+                  r["obj_datatype"], r["obj_lang"]) for r in rows],
+                namespaces)
+            for rows in trip_lists])
 
-    return (triples.groupBy(graph_col)
-            .applyInPandas(per_graph, schema="graph_key string, ttl string"))
+    ser = F.pandas_udf(_ser_series, StringType())
+    agg = (triples.groupBy(graph_col)
+           .agg(F.collect_list(F.struct(
+               "subj", "pred", "obj", "obj_is_literal",
+               "obj_datatype", "obj_lang")).alias("_trips")))
+    return agg.select(F.col(graph_col).alias("graph_key"),
+                      ser("_trips").alias("ttl"))
 
 
 def write_turtle_html_string(triples: DataFrame, prefix_map=None,
