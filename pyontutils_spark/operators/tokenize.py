@@ -45,8 +45,12 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     of ``split``).  Codegen end to end; partial aggregation makes the
     shuffle carry distinct words per partition, not corpus tokens.
     """
+    # (?U) = Java UNICODE_CHARACTER_CLASS: \s then covers NBSP/U+3000
+    # etc., matching Python's \S+ pre-tokenizer in kernel/bpe.py (a
+    # plain Java \s is ASCII-only, so non-ASCII whitespace would leak
+    # into histogram "words" that encode() never segments)
     w = F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")),
-                          r"\s+")).alias("word")
+                          r"(?U)\s+")).alias("word")
     return (docs.select(w)
             .filter(F.length("word") > 0)
             .groupBy("word").agg(F.count(F.lit(1)).alias("count")))

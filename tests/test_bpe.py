@@ -189,6 +189,20 @@ def test_word_counts_matches_kernel_histogram(spark, docs):
     assert got == want
 
 
+def test_word_counts_unicode_whitespace_matches_kernel(spark):
+    """ADVICE round 6: Java \\s is ASCII-only by default, so NBSP /
+    U+3000 / NEL separated words must still match the kernel's Python
+    \\S+ pre-tokenizer — (?U) in the Spark split."""
+    from pyontutils_spark.operators.tokenize import word_counts
+    texts = ["a\u00a0b\u00a0c", "x\u3000y", "p\u0085qr",
+             "plain text"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id int, text string")
+    got = {r["word"]: r["count"] for r in word_counts(df).collect()}
+    want = dict(word_histogram(texts))
+    assert got == want
+
+
 def test_train_bpe_distributed_equals_local(spark, docs):
     from pyontutils_spark.operators.tokenize import train_bpe
     trained = train_bpe(docs, n_merges=30, min_count=1,
