@@ -409,17 +409,19 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode end-to-end (no SQL analog — rows-only check):
     200 synthetic media rows carrying REAL encoded bytes (PPM even ids,
     baseline JPEG odd ids), decoded by the pure-Python kernel inside
-    Arrow-batched mapInPandas; features quantized to e4 ints so the
-    result is deterministically hashable."""
+    Arrow-batched mapInPandas; features quantized to e4 ints and
+    joined into ONE comma-separated string column so every output
+    column is a scalar the driver's row canonicalizer can sort/hash
+    (round 6 gate err: array<long> cells are unhashable there)."""
     from pyontutils_spark.operators.multimodal import (
         extract_features, synth_media)
     media = synth_media(spark, 200)
     feats = extract_features(media)
     return feats.select(
         "media_id",
-        F.transform("features",
-                    lambda x: F.round(x * 10_000).cast("long"))
-        .alias("features_e4"))
+        F.concat_ws(",", F.transform(
+            "features", lambda x: F.round(x * 10_000).cast("long")))
+        .alias("features_e4_csv"))
 
 
 def _q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,15 +576,19 @@ def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode in the gate (no SQL analog — rows-only): 40
     synthetic MJPEG-AVI videos parsed by the pure-struct RIFF kernel,
     frames JPEG-decoded and featurized inside Arrow-batched
-    mapInPandas; features e4-quantized for stable hashing."""
+    mapInPandas; features e4-quantized and joined into ONE
+    comma-separated string column so every output column is a scalar
+    the driver's row canonicalizer can sort/hash (round 6 gate err:
+    array<long> cells are unhashable there)."""
     from pyontutils_spark.operators.multimodal import (
         sample_video_frames, synth_media)
     media = synth_media(spark, 40, kind="video")
     return (sample_video_frames(media, every_ms=400)
             .select("media_id", "frame_ts_ms", "frame_idx",
-                    F.transform("features",
-                                lambda x: F.round(x * 10_000)
-                                .cast("long")).alias("features_e4")))
+                    F.concat_ws(",", F.transform(
+                        "features",
+                        lambda x: F.round(x * 10_000).cast("long")))
+                    .alias("features_e4_csv")))
 
 
 _GRAPH_TRIPLES = [
