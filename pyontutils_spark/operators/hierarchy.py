@@ -59,9 +59,24 @@ def transitive_closure(edges: DataFrame, max_depth: int = 30,
     output."""
     from functools import reduce
 
-    ej = (edges.select(F.col(child).alias("node"),
-                       F.col(parent).alias("nxt"))
-          .repartition("node").localCheckpoint(eager=True))
+    # Build the reused edge table with AQE disabled for just this job:
+    # under AQE the checkpointed LogicalRDD captures
+    # UnknownPartitioning (the adaptive plan's partitioning is not
+    # final at capture time), which silently re-inserts the edge-side
+    # Exchange in EVERY round's join.  With AQE off the checkpoint
+    # carries hashpartitioning(node, N) and the per-round join ships
+    # only the frontier (plan-verified: 3 -> 2 exchanges per round;
+    # plans/r07/transitive_closure_one_round_*.txt).
+    sess = edges.sparkSession
+    _aqe = "spark.sql.adaptive.enabled"
+    _old_aqe = sess.conf.get(_aqe, "true")
+    sess.conf.set(_aqe, "false")
+    try:
+        ej = (edges.select(F.col(child).alias("node"),
+                           F.col(parent).alias("nxt"))
+              .repartition("node").localCheckpoint(eager=True))
+    finally:
+        sess.conf.set(_aqe, _old_aqe)
     base = (ej.select(F.col("node").alias("start"),
                       F.col("nxt").alias("node"))
             .distinct())
