@@ -48,6 +48,9 @@ class NGramLM:
     (out-of-vocabulary tokens map to ``<unk>``, which is IN the
     vocabulary, so probabilities stay proper)."""
 
+    #: set by train_ngram_lm when a max_bigrams cap actually dropped rows
+    bigrams_truncated = False
+
     def __init__(self, unigrams: dict, bigrams: dict, k: float = 0.5,
                  lam: float = 0.7):
         self.unigrams = dict(unigrams)          # token -> count
@@ -127,13 +130,24 @@ def _tokens_df(docs: DataFrame, text_col: str):
 
 def train_ngram_lm(docs: DataFrame, text_col: str = "text",
                    max_vocab: int = 50_000, min_count: int = 2,
-                   k: float = 0.5, lam: float = 0.7) -> NGramLM:
+                   k: float = 0.5, lam: float = 0.7,
+                   max_bigrams: int | None = None) -> NGramLM:
     """Train the LM on a corpus.  Vocabulary = the ``max_vocab`` most
     frequent tokens with count >= ``min_count`` (count-desc,
     token-asc tie-break — deterministic); everything else folds into
     ``<unk>`` WITH its mass (unigram and bigram counts are re-labeled,
     not dropped, so the model is trained on exactly the corpus
-    distribution it will score)."""
+    distribution it will score).
+
+    ``max_bigrams`` bounds the driver-side bigram collect (guide §5:
+    the driver should do almost no data work; a 100-TB corpus with a
+    50k vocab could push 10^8+ min_count-surviving bigram rows to the
+    driver) — keep the most frequent ``max_bigrams`` rows, count-desc /
+    (a,b)-asc deterministic tie-break, exactly like ``train_bpe``'s
+    ``max_words``.  The cap is surfaced: ``NGramLM.bigrams_truncated``
+    is True when it actually bit.  Default ``None`` = unbounded
+    (existing behavior; the staged lm_score oracle retrains the exact
+    uncapped model in SQL)."""
     toks = docs.select(_tokens_df(docs, text_col))
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     vocab_rows = (uni.filter(F.col("c") >= min_count)
@@ -169,12 +183,22 @@ def train_ngram_lm(docs: DataFrame, text_col: str = "text",
                .join(vdf.select(F.col("tok").alias("b"),
                                 F.lit(1).alias("bv")), "b", "left")
                .select(a_lab.alias("ga"), b_lab.alias("gb")))
-    big_rows = (labeled.groupBy("ga", "gb")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .filter(F.col("c") >= min_count)
-                .collect())
+    big = (labeled.groupBy("ga", "gb")
+           .agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") >= min_count))
+    truncated = False
+    if max_bigrams is not None:
+        big = big.orderBy(F.col("c").desc(), F.col("ga").asc(),
+                          F.col("gb").asc()).limit(max_bigrams + 1)
+        big_rows = big.collect()
+        truncated = len(big_rows) > max_bigrams
+        big_rows = big_rows[:max_bigrams]
+    else:
+        big_rows = big.collect()
     bigrams = {r["ga"] + "\x1f" + r["gb"]: r["c"] for r in big_rows}
-    return NGramLM(unigrams, bigrams, k=k, lam=lam)
+    lm = NGramLM(unigrams, bigrams, k=k, lam=lam)
+    lm.bigrams_truncated = truncated
+    return lm
 
 
 def perplexity_col(model: NGramLM, text_col) -> Column:
