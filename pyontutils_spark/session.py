@@ -48,6 +48,18 @@ def get_spark(app: str = "pyontutils_spark",
          .config("spark.sql.files.maxPartitionBytes", "134217728"))
     if local_dir:
         b = b.config("spark.local.dir", local_dir)
+        # Compression is tied to the shuffle MEDIUM, not hardcoded:
+        # with scratch on tmpfs the bytes never touch a disk or NIC in
+        # local mode, so lz4 is pure CPU overhead (measured ~16% on the
+        # shuffle-heavy closure loops).  On clusters the manager sets
+        # spark.local.dir itself, this branch never fires, and Spark's
+        # compressed default stands.  SPARK_GRAFT_SHUFFLE_COMPRESS=true
+        # forces compression back on even for tmpfs.
+        if (local_dir.startswith("/dev/shm")
+                and os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS",
+                                   "").lower() != "true"):
+            b = (b.config("spark.shuffle.compress", "false")
+                 .config("spark.shuffle.spill.compress", "false"))
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
