@@ -47,26 +47,24 @@ def transitive_closure(edges: DataFrame, max_depth: int = 30,
     shrink and handles cycles without infinite loops — the bounded BFS
     of the reference's import chase (ontload.py:528-529, :555).
 
-    Two per-round costs are removed versus the naive loop (round 7,
-    guide §2.4): the edge table is hash-partitioned on the join key ONCE
-    (``repartition`` + ``localCheckpoint`` — ``LogicalRDD`` preserves
-    the partitioning, so every round's frontier join ships only the
-    frontier), and the growing closure is never re-materialized — each
-    round's ``new`` frontier is checkpointed alone and the anti-join /
-    final result read the checkpointed pieces through a lazy union
-    instead of copying the whole closure every round.  Measured on the
-    1M-edge 4-ary tree (9.5M closure rows): ~20% wall-clock, identical
-    output."""
+    Per-round costs removed versus the naive loop (round 7, guide
+    §2.4): the whole iteration runs with AQE disabled so every
+    ``localCheckpoint`` captures its real hash partitioning + sort
+    order into the LogicalRDD (under AQE the capture is
+    UnknownPartitioning, which silently re-inserts exchanges).  The
+    edge table is hash-partitioned on the join key ONCE, so each
+    round's join ships only the frontier; the closure is kept as
+    per-round checkpointed frontier pieces, and the visited-dedup
+    anti-join runs as a CHAIN of sort-merge anti-joins against each
+    piece — the candidate side is shuffled/sorted once and every piece
+    is read co-partitioned in place, so the cumulative closure is
+    never re-shuffled, re-sorted (first piece; later pieces keep a
+    narrow in-partition sort — a Spark attr-capture quirk) or
+    re-materialized.  Measured on the 1M-edge 4-ary tree (9.5M closure
+    rows): 27.3 s -> 20.9 s across the round-7 steps, identical
+    output; plan evidence in plans/r07/transitive_closure_*."""
     from functools import reduce
 
-    # Build the reused edge table with AQE disabled for just this job:
-    # under AQE the checkpointed LogicalRDD captures
-    # UnknownPartitioning (the adaptive plan's partitioning is not
-    # final at capture time), which silently re-inserts the edge-side
-    # Exchange in EVERY round's join.  With AQE off the checkpoint
-    # carries hashpartitioning(node, N) and the per-round join ships
-    # only the frontier (plan-verified: 3 -> 2 exchanges per round;
-    # plans/r07/transitive_closure_one_round_*.txt).
     sess = edges.sparkSession
     _aqe = "spark.sql.adaptive.enabled"
     _old_aqe = sess.conf.get(_aqe, "true")
@@ -75,27 +73,30 @@ def transitive_closure(edges: DataFrame, max_depth: int = 30,
         ej = (edges.select(F.col(child).alias("node"),
                            F.col(parent).alias("nxt"))
               .repartition("node").localCheckpoint(eager=True))
+        first = (ej.select(F.col("node").alias("start"),
+                           F.col("nxt").alias("node"))
+                 .distinct()
+                 .sortWithinPartitions("start", "node")
+                 .withColumn("depth", F.lit(1))
+                 .localCheckpoint(eager=True))
+        pieces = [first]
+        frontier = first
+        for d in range(2, max_depth + 1):
+            step = (frontier.join(ej, "node")
+                    .select("start", F.col("nxt").alias("node"))
+                    .distinct())
+            cand = step
+            for p in pieces:
+                cand = cand.join(p.select("start", "node"),
+                                 ["start", "node"], "left_anti")
+            new = (cand.withColumn("depth", F.lit(d))
+                   .localCheckpoint(eager=True))
+            if new.isEmpty():
+                break
+            pieces.append(new)
+            frontier = new
     finally:
         sess.conf.set(_aqe, _old_aqe)
-    base = (ej.select(F.col("node").alias("start"),
-                      F.col("nxt").alias("node"))
-            .distinct())
-    first = base.withColumn("depth", F.lit(1)).localCheckpoint(eager=True)
-    pieces = [first]
-    frontier = first
-    for d in range(2, max_depth + 1):
-        step = (frontier.join(ej, "node")
-                .select("start", F.col("nxt").alias("node"))
-                .distinct())
-        prev = reduce(lambda x, y: x.unionByName(y),
-                      [p.select("start", "node") for p in pieces])
-        new = (step.join(prev, ["start", "node"], "left_anti")
-               .withColumn("depth", F.lit(d))
-               .localCheckpoint(eager=True))
-        if new.isEmpty():
-            break
-        pieces.append(new)
-        frontier = new
     closure = reduce(lambda x, y: x.unionByName(y), pieces)
     return closure.select(F.col("start").alias("node"),
                           F.col("node").alias("ancestor"), "depth")
