@@ -81,10 +81,18 @@ def train_bpe(docs: DataFrame, text_col: str = "text",
     hist = word_counts(docs, text_col).persist()
     try:
         n_distinct = hist.count()
-        top = (hist.filter(F.col("count") >= min_count)
-               .orderBy(F.col("count").desc(), F.col("word").asc())
-               .limit(max_words)
-               .collect())
+        kept = hist.filter(F.col("count") >= min_count)
+        if kept.count() > max_words:
+            # global top-N sort only when the cap actually bites; the
+            # merge loop is deterministic under histogram order
+            # (tested), so an unsorted collect is equivalent when
+            # nothing is dropped — and the count probe is a narrow
+            # job over the persisted histogram
+            top = (kept.orderBy(F.col("count").desc(),
+                                F.col("word").asc())
+                   .limit(max_words).collect())
+        else:
+            top = kept.collect()
     finally:
         hist.unpersist()
     counts = {r["word"]: r["count"] for r in top}
